@@ -1,0 +1,160 @@
+"""Format-layer tests: CSR/COO containers, ordering, comparators, permutations.
+
+Resurrects the reference's gutted unit tests (CSR_test.cc, COO_test.cc,
+util_test.cc — bodies commented out in the reference; see SURVEY.md §4) as
+real assertions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_matrix_with_flops_tpu.formats import COO, CSR
+
+
+def dense_of(csr):
+    return np.asarray(csr.to_dense())
+
+
+class TestCSR:
+    def test_from_dense_roundtrip(self, rng):
+        d = rng.standard_normal((13, 17)).astype(np.float32)
+        d[rng.random((13, 17)) < 0.7] = 0.0
+        csr = CSR.from_dense(d)
+        np.testing.assert_array_equal(dense_of(csr), d)
+        assert int(csr.nnz) == np.count_nonzero(d)
+
+    def test_capacity_padding(self, rng):
+        d = np.eye(5, dtype=np.float32)
+        csr = CSR.from_dense(d).with_capacity(20)
+        assert csr.capacity == 20
+        assert int(csr.nnz) == 5
+        np.testing.assert_array_equal(dense_of(csr), d)
+        # padding is sentinel cols with zero values
+        assert np.all(np.asarray(csr.col_ind)[5:] == 5)
+        assert np.all(np.asarray(csr.values)[5:] == 0)
+
+    def test_entry_rows_sentinel(self):
+        csr = CSR.from_arrays([0, 2, 2, 3], [1, 2, 0], [1.0, 2.0, 3.0], 3, capacity=6)
+        er = np.asarray(csr.entry_rows())
+        np.testing.assert_array_equal(er, [0, 0, 2, 3, 3, 3])
+
+    def test_make_ordered(self):
+        csr = CSR.from_arrays(
+            [0, 3, 4], [2, 0, 1, 1], [3.0, 1.0, 2.0, 4.0], 3, capacity=6
+        )
+        out = csr.make_ordered()
+        np.testing.assert_array_equal(np.asarray(out.col_ind)[:4], [0, 1, 2, 1])
+        np.testing.assert_array_equal(np.asarray(out.values)[:4], [1, 2, 3, 4])
+        np.testing.assert_array_equal(np.asarray(out.row_ptr), [0, 3, 4])
+
+    def test_aver_and_norm(self):
+        csr = CSR.from_arrays([0, 2, 3], [0, 1, 1], [5.0, 7.0, 9.0], 2)
+        out = csr.aver_and_norm_rows()
+        np.testing.assert_allclose(np.asarray(out.values), [0.5, 0.5, 1.0])
+
+    def test_is_equal(self, rng):
+        d = rng.standard_normal((9, 9)).astype(np.float32)
+        d[rng.random((9, 9)) < 0.6] = 0.0
+        a = CSR.from_dense(d)
+        b = CSR.from_dense(d).with_capacity(a.capacity + 7)
+        assert bool(a.is_equal(b))
+        d2 = d.copy()
+        d2[0, np.nonzero(d[0])[0][0] if np.any(d[0]) else 0] += 1.0
+        c = CSR.from_dense(d2)
+        if np.any(d[0]):
+            assert not bool(a.is_equal(c))
+
+    def test_is_raw_equal_ignores_zeros(self):
+        a = CSR.from_arrays([0, 2], [0, 1], [1.0, 0.0], 2)
+        b = CSR.from_arrays([0, 1], [0], [1.0], 2)
+        assert not bool(a.is_equal(b))
+        assert bool(a.is_raw_equal(b))
+
+    def test_is_relative_equal(self):
+        a = CSR.from_arrays([0, 1], [0], [100.0], 1)
+        b = CSR.from_arrays([0, 1], [0], [100.05], 1)
+        assert bool(a.is_relative_equal(b, 1e-3))
+        assert not bool(a.is_relative_equal(b, 1e-6))
+
+    def test_permute_rows(self, rng):
+        d = rng.standard_normal((6, 4)).astype(np.float32)
+        d[rng.random((6, 4)) < 0.5] = 0.0
+        csr = CSR.from_dense(d)
+        p = np.asarray([2, 0, 1, 5, 4, 3], dtype=np.int32)
+        out = csr.permute_rows(jnp.asarray(p))
+        np.testing.assert_allclose(dense_of(out), d[p])
+
+    def test_conjugate_permute(self, rng):
+        d = rng.standard_normal((5, 5)).astype(np.float32)
+        d[rng.random((5, 5)) < 0.5] = 0.0
+        csr = CSR.from_dense(d)
+        p = np.asarray([3, 1, 4, 0, 2], dtype=np.int32)
+        out = csr.conjugate_permute(jnp.asarray(p))
+        # (P M Pt)[i, j] = M[p[i], p[j]]
+        np.testing.assert_allclose(dense_of(out), d[np.ix_(p, p)], rtol=1e-6)
+
+    def test_row_descending_order(self):
+        csr = CSR.from_dense(
+            np.asarray([[1, 1, 1], [0, 0, 0], [1, 1, 0]], dtype=np.float32)
+        )
+        p = np.asarray(csr.row_descending_order_permutation())
+        np.testing.assert_array_equal(p, [0, 2, 1])
+
+    def test_differs_zero_for_same(self, rng):
+        d = rng.standard_normal((7, 7)).astype(np.float32)
+        d[rng.random((7, 7)) < 0.5] = 0.0
+        a = CSR.from_dense(d)
+        assert float(a.differs(a)) == 0.0
+
+    def test_jit_through_pytree(self):
+        csr = CSR.from_dense(np.eye(4, dtype=np.float32))
+
+        @jax.jit
+        def f(m: CSR):
+            return m.nnz, m.to_dense().sum()
+
+        nnz, s = f(csr)
+        assert int(nnz) == 4 and float(s) == 4.0
+
+
+class TestCOO:
+    def test_add_self_loops(self):
+        coo = COO.from_numpy([0, 1], [1, 1], [5.0, 3.0], 3, 3, capacity=8)
+        out = coo.add_self_loops()
+        assert int(out.nnz) == 4  # adds (0,0),(2,2); (1,1) already present
+        d = np.asarray(out.to_dense())
+        np.testing.assert_allclose(
+            d, [[1, 5, 0], [0, 3, 0], [0, 0, 1]], rtol=1e-6
+        )
+
+    def test_make_ordered_and_to_csr(self):
+        coo = COO.from_numpy(
+            [2, 0, 1, 0], [1, 2, 0, 0], [1.0, 2.0, 3.0, 4.0], 3, 3, capacity=6
+        )
+        csr = coo.make_ordered().to_csr()
+        np.testing.assert_array_equal(np.asarray(csr.row_ptr), [0, 2, 3, 4])
+        np.testing.assert_array_equal(np.asarray(csr.col_ind)[:4], [0, 2, 0, 1])
+        np.testing.assert_allclose(np.asarray(csr.values)[:4], [4, 2, 3, 1])
+
+    def test_sum_duplicates(self):
+        coo = COO.from_numpy(
+            [0, 0, 0, 1], [1, 1, 0, 1], [1.0, 2.0, 3.0, 4.0], 2, 2, capacity=8
+        )
+        out = coo.sum_duplicates()
+        assert int(out.nnz) == 3
+        d = np.asarray(out.to_dense())
+        np.testing.assert_allclose(d, [[3, 3], [0, 4]])
+
+    def test_transpose(self):
+        coo = COO.from_numpy([0], [1], [2.0], 2, 3)
+        t = coo.transpose()
+        assert t.shape if hasattr(t, "shape") else (t.rows, t.cols) == (3, 2)
+        d = np.asarray(t.to_dense())
+        assert d[1, 0] == 2.0
+
+    def test_empty_rows_to_csr(self):
+        coo = COO.from_numpy([3], [0], [1.0], 5, 2, capacity=4)
+        csr = coo.to_csr()
+        np.testing.assert_array_equal(np.asarray(csr.row_ptr), [0, 0, 0, 0, 1, 1])
