@@ -42,15 +42,19 @@ def repeat_segments(starts: jax.Array, valid: jax.Array, total: int) -> jax.Arra
     """Map output position q in [0, total) to the segment index it belongs to.
 
     ``starts[p]`` is the exclusive prefix-sum offset of segment p (only
-    segments with ``valid[p]`` participate).  Zero-length segments are skipped
-    naturally: multiple increments land on the same position and the cumsum
-    jumps past them.  O(total) — no binary search.
+    segments with ``valid[p]`` participate; valid segments must have
+    nonzero length so their starts are distinct).  Implemented as a
+    scatter-max of segment ids at their start positions followed by a
+    running max — O(total), no binary search, and zero-length/invalid
+    segments are skipped because nothing is scattered for them.
     """
     num = starts.shape[0]
-    inc = jnp.zeros((total,), dtype=INDEX_DTYPE)
+    seg_plus1 = jnp.where(valid, jnp.arange(num, dtype=INDEX_DTYPE) + 1, 0)
     idx = jnp.where(valid, starts, total)  # invalid -> dropped scatter
-    inc = inc.at[idx].add(1, mode="drop")
-    return jnp.cumsum(inc) - 1
+    marks = jnp.zeros((total,), dtype=INDEX_DTYPE).at[idx].max(
+        seg_plus1, mode="drop"
+    )
+    return jax.lax.cummax(marks) - 1
 
 
 def segment_boundaries(keys_a: jax.Array, keys_b: jax.Array, valid: jax.Array) -> jax.Array:
