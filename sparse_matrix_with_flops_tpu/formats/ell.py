@@ -1,0 +1,88 @@
+"""ELL: padded fixed-width rows — the TPU's favourite sparse layout.
+
+Not present in the reference as a named format, but implicitly everywhere
+its binned kernels pad rows to a power-of-two lane count (gspgemm.cuh per-
+bin kernels; SURVEY.md §7 S4 calls for "BCSR/ELL padded-tile format for
+MXU-shaped SpMM/SpMV").  ``[rows, width]`` col/val planes make every row op
+a lane-parallel VPU op with zero ragged control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import INDEX_DTYPE, QVALUE_DTYPE
+from .csr import CSR
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("col", "val"),
+    meta_fields=("ncols",),
+)
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    col: jax.Array  # int32[rows, width]; sentinel ncols on padding
+    val: jax.Array  # f32[rows, width]; 0 on padding
+    ncols: int
+
+    @property
+    def rows(self) -> int:
+        return self.col.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.col.shape[1]
+
+    @property
+    def nnz(self) -> jax.Array:
+        return jnp.sum(self.col < self.ncols)
+
+    @staticmethod
+    def from_csr(a: CSR, width: int | None = None) -> "ELL":
+        """Host-side CSR→ELL; width defaults to the max row nnz (rows whose
+        nnz exceeds a caller-given width are truncated — caller's bug,
+        mirroring undersized caps elsewhere)."""
+        rp = np.asarray(a.row_ptr, dtype=np.int64)
+        counts = np.diff(rp)
+        w = int(counts.max()) if width is None else int(width)
+        w = max(w, 1)
+        col = np.full((a.rows, w), a.ncols, dtype=np.int32)
+        val = np.zeros((a.rows, w), dtype=np.float32)
+        cols = np.asarray(a.col_ind)
+        vals = np.asarray(a.values)
+        for i in range(a.rows):
+            k = min(int(counts[i]), w)
+            col[i, :k] = cols[rp[i] : rp[i] + k]
+            val[i, :k] = vals[rp[i] : rp[i] + k]
+        return ELL(
+            jnp.asarray(col, INDEX_DTYPE), jnp.asarray(val, QVALUE_DTYPE), a.ncols
+        )
+
+    def to_dense(self) -> jax.Array:
+        out = jnp.zeros((self.rows, self.ncols + 1), QVALUE_DTYPE)
+        rix = jax.lax.broadcasted_iota(INDEX_DTYPE, self.col.shape, 0)
+        out = out.at[rix, self.col].add(self.val, mode="drop")
+        return out[:, : self.ncols]
+
+    def spmv(self, x: jax.Array) -> jax.Array:
+        """y = A·x — one gather + one lane reduction per row."""
+        safe = jnp.clip(self.col, 0, self.ncols - 1)
+        g = jnp.take(x, safe)
+        g = jnp.where(self.col < self.ncols, g * self.val, 0.0)
+        return jnp.sum(g, axis=1).astype(QVALUE_DTYPE)
+
+    def spmm(self, b: jax.Array) -> jax.Array:
+        """C = A·B with dense B: per-lane gather of B rows, lane reduction.
+        Memory O(rows·width·N) — use for narrow widths (the ELL regime)."""
+        safe = jnp.clip(self.col, 0, self.ncols - 1)
+        g = jnp.take(b, safe, axis=0)  # [rows, width, N]
+        g = jnp.where(
+            (self.col < self.ncols)[:, :, None], g * self.val[:, :, None], 0.0
+        )
+        return jnp.sum(g, axis=1).astype(QVALUE_DTYPE)

@@ -22,6 +22,7 @@ host.  Overflow is detectable: returned ``nnz``/flops are exact.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,18 +39,75 @@ from .segments import (
 
 
 # ---------------------------------------------------------------------------
+# B-side view: lets the expansion consume either a plain CSR or a stack of
+# gathered shard blocks (the distributed layer all-gathers the row-sharded
+# iterate and exposes it through this view without restitching a CSR).
+# ---------------------------------------------------------------------------
+class BView(NamedTuple):
+    """Row-indexed view of B: flat (col, val) arrays + per-row start/count."""
+
+    col: jax.Array  # int32[flat_cap]
+    val: jax.Array  # f32[flat_cap]
+    row_start: jax.Array  # int32[rows] index of each row's first entry
+    row_count: jax.Array  # int32[rows] entries per row
+    ncols: int
+
+    @property
+    def rows(self) -> int:
+        return self.row_start.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.col.shape[0]
+
+
+def bview_from_csr(b: CSR) -> BView:
+    return BView(
+        col=b.col_ind,
+        val=b.values,
+        row_start=b.row_ptr[:-1],
+        row_count=b.row_counts(),
+        ncols=b.ncols,
+    )
+
+
+def bview_from_blocks(row_ptr_blocks, col_blocks, val_blocks, ncols: int) -> BView:
+    """View over D stacked local CSR blocks (e.g. a lax.all_gather result).
+
+    ``row_ptr_blocks`` is int32[D, lr+1] of *local* offsets; block d's
+    entries live at flat offset ``d * local_cap``.  Padding rows inside a
+    block must have count 0 (standard local-CSR padding), so they simply
+    never get gathered.
+    """
+    d, lcap = col_blocks.shape
+    offs = (jnp.arange(d, dtype=INDEX_DTYPE) * lcap)[:, None]
+    row_start = (row_ptr_blocks[:, :-1] + offs).reshape(-1)
+    row_count = (row_ptr_blocks[:, 1:] - row_ptr_blocks[:, :-1]).reshape(-1)
+    return BView(
+        col=col_blocks.reshape(-1),
+        val=val_blocks.reshape(-1),
+        row_start=row_start,
+        row_count=row_count.astype(INDEX_DTYPE),
+        ncols=ncols,
+    )
+
+
+# ---------------------------------------------------------------------------
 # expansion
 # ---------------------------------------------------------------------------
-def esc_expand(a: CSR, b: CSR, product_cap: int):
+def esc_expand_view(a: CSR, bv: BView, product_cap: int):
     """Materialise all partial products of A·B into flat streams.
 
     Returns (prow, pcol, pval) of length ``product_cap`` plus the exact
     product count.  Product q belongs to A entry p (found via scatter+cumsum
     over the flops prefix — the device analogue of the flops-offset array,
-    flops.cu:133) and B entry ``b.row_ptr[A.col[p]] + (q - start[p])``.
+    flops.cu:133) and B entry ``bv.row_start[A.col[p]] + (q - start[p])``.
     Slots beyond the true flops hold the (rows, ncols, 0) sentinel.
     """
-    ef = entry_flops(a, b)
+    safe_col = jnp.clip(a.col_ind, 0, bv.rows - 1)
+    ef = jnp.where(
+        a.entry_valid(), jnp.take(bv.row_count, safe_col), 0
+    ).astype(INDEX_DTYPE)
     starts = exclusive_cumsum(ef)
     total = starts[-1]
     p = repeat_segments(starts[:-1], a.entry_valid() & (ef > 0), product_cap)
@@ -60,14 +118,19 @@ def esc_expand(a: CSR, b: CSR, product_cap: int):
     acol = jnp.take(a.col_ind, safe_p)
     aval = jnp.take(a.values, safe_p)
     t = q - jnp.take(starts, safe_p)
-    b_start = jnp.take(b.row_ptr, jnp.clip(acol, 0, b.rows - 1))
-    b_idx = jnp.clip(b_start + t, 0, b.capacity - 1)
-    pcol = jnp.take(b.col_ind, b_idx)
-    pval = aval * jnp.take(b.values, b_idx)
+    b_start = jnp.take(bv.row_start, jnp.clip(acol, 0, bv.rows - 1))
+    b_idx = jnp.clip(b_start + t, 0, bv.capacity - 1)
+    pcol = jnp.take(bv.col, b_idx)
+    pval = aval * jnp.take(bv.val, b_idx)
     prow = jnp.where(pvalid, arow, a.rows).astype(INDEX_DTYPE)
-    pcol = jnp.where(pvalid, pcol, b.ncols).astype(INDEX_DTYPE)
+    pcol = jnp.where(pvalid, pcol, bv.ncols).astype(INDEX_DTYPE)
     pval = jnp.where(pvalid, pval, 0.0).astype(QVALUE_DTYPE)
     return prow, pcol, pval, total
+
+
+def esc_expand(a: CSR, b: CSR, product_cap: int):
+    """CSR-to-CSR expansion (see esc_expand_view)."""
+    return esc_expand_view(a, bview_from_csr(b), product_cap)
 
 
 def esc_sort(prow, pcol, pval, rows: int):

@@ -1,0 +1,84 @@
+"""Synthetic matrix generators for tests and benchmarks.
+
+The reference benchmarks on a fixed SuiteSparse/SNAP corpus fetched from
+disk (tools/runs.sh, mindex2-cuda/run2.sh); that corpus is not shipped, so
+the rebuild generates workload-equivalent matrices: R-MAT power-law graphs
+(the SNAP web/social family) and banded FEM-like matrices (the cant.mtx
+family).  Generators are seeded and host-side (numpy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..formats.csr import CSR
+
+
+def rmat_csr(
+    scale: int,
+    edge_factor: int = 16,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 0,
+    weights: str = "unit",
+) -> CSR:
+    """R-MAT (Graph500-style) power-law adjacency matrix, 2^scale nodes.
+
+    Duplicate edges are summed; self loops kept.  ``weights``: 'unit' (1.0,
+    like SNAP ingestion COO.cc:110-112) or 'random' (uniform (0,1])."""
+    rng = np.random.default_rng(seed)
+    n = 1 << scale
+    m = n * edge_factor
+    rows = np.zeros(m, dtype=np.int64)
+    cols = np.zeros(m, dtype=np.int64)
+    pa, pb, pc = a, a + b, a + b + c
+    for bit in range(scale):
+        r = rng.random(m)
+        rbit = (r >= pb).astype(np.int64)  # lower half of rows
+        cbit = (((r >= pa) & (r < pb)) | (r >= pc)).astype(np.int64)
+        rows |= rbit << bit
+        cols |= cbit << bit
+    if weights == "unit":
+        vals = np.ones(m, dtype=np.float32)
+    else:
+        vals = rng.random(m).astype(np.float32) + np.float32(1e-6)
+    # dedup-sum (orderedAndDuplicatesRemoving semantics, COO.cc:237-265)
+    key = rows * n + cols
+    order = np.argsort(key, kind="stable")
+    key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
+    first = np.ones(m, dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    seg = np.cumsum(first) - 1
+    nseg = int(seg[-1]) + 1 if m else 0
+    sval = np.zeros(nseg, dtype=np.float64)
+    np.add.at(sval, seg, vals)
+    urows = rows[first]
+    ucols = cols[first]
+    counts = np.bincount(urows, minlength=n)
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    return CSR.from_arrays(
+        row_ptr.astype(np.int32),
+        ucols.astype(np.int32),
+        sval.astype(np.float32),
+        ncols=n,
+    )
+
+
+def banded_csr(n: int, bandwidth: int = 32, seed: int = 0) -> CSR:
+    """Banded FEM-like matrix: every row has entries in a +/- bandwidth
+    window (the cant.mtx workload shape: near-uniform row flops)."""
+    rng = np.random.default_rng(seed)
+    offs = np.arange(-bandwidth, bandwidth + 1)
+    rows = np.repeat(np.arange(n, dtype=np.int64), offs.shape[0])
+    cols = rows + np.tile(offs, n)
+    keep = (cols >= 0) & (cols < n)
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    counts = np.bincount(rows, minlength=n)
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    return CSR.from_arrays(
+        row_ptr.astype(np.int32), cols.astype(np.int32), vals, ncols=n
+    )

@@ -1,0 +1,68 @@
+"""Phase-labelled timing spans + benchmark timing helpers.
+
+TPU replacement for the reference's profiling toolbox: the `-Dprofiling`
+`time_in_mill_now()` spans (nlibs/tools/ntimer.cc:3-9, used at phase
+granularity e.g. static_omp_csr_kernel.cc:102-183) and the cudaEvent RAII
+timer (nlibs/gpus/timer.h:32-56).  Device work is asynchronous under XLA,
+so spans block on the produced arrays (`jax.block_until_ready`) the way the
+cudaEvent timer synchronises the stream.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+
+import jax
+
+
+def time_in_mill_now() -> float:
+    """Wall-clock in milliseconds (ntimer.cc:3-9 parity)."""
+    return time.monotonic() * 1e3
+
+
+@dataclass
+class Profiler:
+    """Named phase spans; enable like the reference's -Dprofiling builds."""
+
+    enabled: bool = True
+    spans: dict = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def span(self, name: str, block_on=None):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.monotonic()
+        try:
+            yield
+        finally:
+            if block_on is not None:
+                jax.block_until_ready(block_on)
+            self.spans.setdefault(name, []).append(
+                (time.monotonic() - t0) * 1e3
+            )
+
+    def report(self) -> str:
+        lines = []
+        for name, times in self.spans.items():
+            lines.append(
+                f"{name}: n={len(times)} total={sum(times):.3f}ms "
+                f"mean={sum(times)/len(times):.3f}ms"
+            )
+        return "\n".join(lines)
+
+
+def bench_fn(fn, *args, warmup: int = 2, iters: int = 5) -> float:
+    """Median wall-clock milliseconds of ``fn(*args)`` with device sync
+    (the warm-up + timed-repeats pattern of perfTests/only-somp.cc)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.monotonic()
+        jax.block_until_ready(fn(*args))
+        times.append((time.monotonic() - t0) * 1e3)
+    times.sort()
+    return times[len(times) // 2]

@@ -1,0 +1,109 @@
+"""Distributed layer tests on the 8-device virtual CPU mesh.
+
+Oracle pattern (SURVEY.md §4): every sharded configuration must match the
+single-chip run on the same matrix.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sparse_matrix_with_flops_tpu.formats.csr import CSR
+from sparse_matrix_with_flops_tpu.io import load_coo
+from sparse_matrix_with_flops_tpu.models.rmcl import rmcl, rmcl_init
+from sparse_matrix_with_flops_tpu.ops.flops import row_flops
+from sparse_matrix_with_flops_tpu.ops.spgemm import matmul, spgemm_upper_bounds
+from sparse_matrix_with_flops_tpu.parallel import (
+    flops_balanced_permutation,
+    make_mesh,
+    plan_shard_capacities,
+    shard_csr,
+    sharded_rmcl_scan,
+    sharded_rmcl_step,
+    sharded_spgemm,
+    unshard_csr,
+)
+
+from conftest import random_csr_np
+
+
+def _random_csr(rng, rows, cols, density):
+    rp, c, v = random_csr_np(rng, rows, cols, density)
+    return CSR.from_arrays(rp, c, v, ncols=cols)
+
+
+def test_shard_roundtrip(rng):
+    a = _random_csr(rng, 37, 41, 0.15)
+    s = shard_csr(a, 8)
+    assert s.num_shards == 8
+    assert s.padded_rows >= a.rows
+    back = unshard_csr(s)
+    assert bool(back.is_equal(a))
+
+
+def test_shard_roundtrip_exact_multiple(rng):
+    a = _random_csr(rng, 32, 16, 0.2)
+    back = unshard_csr(shard_csr(a, 4))
+    assert bool(back.is_equal(a))
+
+
+@pytest.mark.parametrize("nd", [2, 8])
+def test_sharded_spgemm_matches_single_chip(rng, nd):
+    mesh = make_mesh(nd)
+    a = _random_csr(rng, 48, 48, 0.15)
+    b = _random_csr(rng, 48, 40, 0.2)
+    ref = matmul(a, b).make_ordered()
+    flops, _ = spgemm_upper_bounds(a, b)
+    per = max(flops, 16)  # worst-case per-shard capacity
+    sa = shard_csr(a, nd)
+    sb = shard_csr(b, nd)
+    c, info = sharded_spgemm(mesh, sa, sb, per, per)
+    got = unshard_csr(c)._drop_explicit_zeros()
+    want = ref._drop_explicit_zeros()
+    assert bool(got.is_raw_equal(want, tol=1e-5))
+    assert int(jnp.sum(info["flops"])) == flops
+
+
+def test_flops_balanced_permutation_balances():
+    rng = np.random.default_rng(1)
+    flops = rng.integers(0, 1000, size=64)
+    perm = flops_balanced_permutation(flops, 8)
+    assert sorted(perm.tolist()) == list(range(64))
+    per_shard = flops[perm].reshape(8, 8).sum(axis=1)
+    assert per_shard.max() - per_shard.min() <= flops.max()
+
+
+def test_sharded_rmcl_matches_single_chip(rng):
+    mesh = make_mesh(8)
+    graph = load_coo("tests/tdatas/tdata.snap", extra_capacity=16)
+    mt0 = rmcl_init(graph)
+    ref = rmcl(mt0, max_iters=3, mode="loop")
+
+    flops, _ = spgemm_upper_bounds(mt0, mt0)
+    smgt = shard_csr(mt0, 8, local_capacity=mt0.capacity)
+    smt = shard_csr(mt0, 8, local_capacity=mt0.capacity)
+    pc, cc = plan_shard_capacities(smgt, flops * 4, margin=8.0)
+    mt, hist = sharded_rmcl_scan(mesh, smgt, smt, pc, cc, 3)
+    got = unshard_csr(mt)
+    want = ref.mt
+    assert not bool(np.any(np.asarray(hist["overflow"])))
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-5
+        )
+    )
+    # aggregated flops per iteration match the single-chip history
+    np.testing.assert_array_equal(
+        np.asarray(hist["flops"]), ref.flops_history
+    )
+
+
+def test_sharded_rmcl_step_reports_differs(rng):
+    mesh = make_mesh(2)
+    a = _random_csr(rng, 24, 24, 0.3).aver_and_norm_rows()
+    sa = shard_csr(a, 2, local_capacity=a.capacity * 4)
+    pc = 4096
+    new_mt, stats = sharded_rmcl_step(mesh, sa, sa, pc, pc)
+    assert float(stats["differs"]) > 0.0
+    assert int(stats["nnz_mt"]) > 0
