@@ -1,1 +1,1 @@
-"""Command-line drivers and analysis tools (L5)."""
+"""L5 command-line drivers: nrmcl (main), analysis, perf, corpus runner."""

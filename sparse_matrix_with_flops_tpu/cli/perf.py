@@ -1,0 +1,64 @@
+"""Performance driver — perfTests/only-*.cc + perfTests/rmcl.cc parity.
+
+Warm-up then timed repeats; prints per-op milliseconds and
+``GFLOPS = flops / ms / 1e6`` with the reference's double-count accounting
+(perfTests/only-somp.cc:36-37).  ``--kernel`` picks esc (global-sort
+pipeline), binned (flops-binned tiles), or rmcl (full fused iteration).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from ..io import load_coo
+from ..models.rmcl import plan_capacities, rmcl, rmcl_init
+from ..ops.binned import plan_bins, spgemm_binned
+from ..ops.spgemm import spgemm, spgemm_upper_bounds
+from ..utils.timing import bench_fn, time_in_mill_now
+from .args import build_parser
+
+
+def main(argv=None) -> int:
+    p = build_parser("timed SpGEMM / R-MCL (perfTests parity)")
+    p.add_argument(
+        "--kernel", default="esc", choices=["esc", "binned", "rmcl"]
+    )
+    p.add_argument("--iters", type=int, default=5)
+    args = p.parse_args(argv)
+
+    coo = load_coo(args.input, is_trans=False)
+    a = coo.sum_duplicates().to_csr()
+    product_cap, out_cap = spgemm_upper_bounds(a, a)
+    flops2 = 2.0 * product_cap
+
+    if args.kernel == "rmcl":
+        coo2 = load_coo(args.input, is_trans=True, extra_capacity=a.rows + 1)
+        mt0 = rmcl_init(coo2)
+        t0 = time_in_mill_now()
+        res = rmcl(mt0, max_iters=args.maxIters, mode="scan")
+        t1 = time_in_mill_now()
+        per_iter = (t1 - t0) / max(args.maxIters, 1)
+        print(
+            f"rmcl: {args.maxIters} iters, {t1 - t0:.3f} ms total, "
+            f"{per_iter:.3f} ms/iter, final nnz {int(res.nnz_history[-1])}"
+        )
+        return 0
+
+    da = jax.device_put(a)
+    if args.kernel == "binned":
+        plan = plan_bins(a, a)
+        fn = lambda x: spgemm_binned(x, x, plan)
+    else:
+        fn = lambda x: spgemm(x, x, product_cap, out_cap)
+    ms = bench_fn(fn, da, warmup=1, iters=args.iters)
+    print(
+        f"{args.kernel} spgemm: {ms:.3f} ms, "
+        f"GFLOPS = {flops2 / ms / 1e6:.3f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

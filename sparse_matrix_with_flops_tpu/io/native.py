@@ -1,0 +1,160 @@
+"""ctypes bindings for the native C++ loader (native/src/loader.cc).
+
+The shared library is built on demand with g++ (no pybind11 in the image;
+C ABI + ctypes instead).  Falls back silently to the pure-Python readers
+when the toolchain or the build is unavailable — the native path is a
+loader for big corpora, not a correctness dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _build_lib(src: str, out: str) -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-o",
+        out,
+        src,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native loader; None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        src = os.path.join(pkg, "native", "src", "loader.cc")
+        out = os.path.join(pkg, "native", "_loader.so")
+        if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+            if not _build_lib(src, out):
+                return None
+        try:
+            lib = ctypes.CDLL(out)
+        except OSError:
+            return None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.smf_read_graph.restype = ctypes.c_int
+        lib.smf_read_graph.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.POINTER(i32p),
+            ctypes.POINTER(i32p),
+            ctypes.POINTER(f32p),
+            i64p,
+            i64p,
+            i64p,
+        ]
+        lib.smf_coo_to_csr.restype = ctypes.c_int
+        lib.smf_coo_to_csr.argtypes = [
+            i32p,
+            i32p,
+            f32p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(i32p),
+            ctypes.POINTER(i32p),
+            ctypes.POINTER(f32p),
+            i64p,
+        ]
+        lib.smf_free.restype = None
+        lib.smf_free.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+        return _LIB
+
+
+def _steal(lib, ptr, n, dtype):
+    """Copy a malloc'd buffer into numpy and free it."""
+    ct = ctypes.c_int32 if dtype == np.int32 else ctypes.c_float
+    arr = np.ctypeslib.as_array(
+        ctypes.cast(ptr, ctypes.POINTER(ct)), shape=(max(n, 1),)
+    )[:n].copy()
+    lib.smf_free(ptr)
+    return arr.astype(dtype, copy=False)
+
+
+def read_graph_native(path: str, is_trans: bool = True):
+    """(row, col, val, nrows, ncols) via the C++ parser, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    orow, ocol, oval = i32p(), i32p(), f32p()
+    nnz = ctypes.c_int64()
+    nr = ctypes.c_int64()
+    nc = ctypes.c_int64()
+    rc = lib.smf_read_graph(
+        path.encode(),
+        int(is_trans),
+        ctypes.byref(orow),
+        ctypes.byref(ocol),
+        ctypes.byref(oval),
+        ctypes.byref(nnz),
+        ctypes.byref(nr),
+        ctypes.byref(nc),
+    )
+    if rc != 0:
+        return None
+    n = nnz.value
+    row = _steal(lib, orow, n, np.int32)
+    col = _steal(lib, ocol, n, np.int32)
+    val = _steal(lib, oval, n, np.float32)
+    return row, col, val, int(nr.value), int(nc.value)
+
+
+def coo_to_csr_native(row, col, val, nrows: int):
+    """(row_ptr, col, val) sorted/dedup'd CSR via C++, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, dtype=np.int32)
+    col = np.ascontiguousarray(col, dtype=np.int32)
+    val = np.ascontiguousarray(val, dtype=np.float32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    orp, ocol, oval = i32p(), i32p(), f32p()
+    onnz = ctypes.c_int64()
+    rc = lib.smf_coo_to_csr(
+        row.ctypes.data_as(i32p),
+        col.ctypes.data_as(i32p),
+        val.ctypes.data_as(f32p),
+        row.shape[0],
+        nrows,
+        ctypes.byref(orp),
+        ctypes.byref(ocol),
+        ctypes.byref(oval),
+        ctypes.byref(onnz),
+    )
+    if rc != 0:
+        return None
+    n = onnz.value
+    rp = _steal(lib, orp, nrows + 1, np.int32)
+    c = _steal(lib, ocol, n, np.int32)
+    v = _steal(lib, oval, n, np.float32)
+    return rp, c, v
