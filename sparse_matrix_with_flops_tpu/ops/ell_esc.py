@@ -1,0 +1,336 @@
+"""ELL-ESC SpGEMM: the fast single-chip pipeline, built on the two data
+movements this TPU does at full HBM speed.
+
+Measured on v5e (tools/probe_tpu_caps*.py): element gathers/scatters run at
+~100M elem/s, but **row gathers** (jnp.take axis=0 of 128-wide rows) and
+**minor-axis sorts** run at memory bandwidth — three orders of magnitude
+faster.  So this pipeline keeps every stage in 2-D row-tiled layouts and
+never issues an element-granularity gather/scatter on the product stream:
+
+1. **B re-layout**: B rows are padded to power-of-two widths and grouped
+   into per-width ELL arrays (one small element-gather at nnz(B) scale).
+2. **Expansion** (the flops-offset stream of mindex2-cuda/flops.cu:133):
+   for each A entry, its B-row segment is one **row gather** from the ELL
+   class array, scaled by the A value — products land in per-entry padded
+   rows, then get re-chunked to a uniform CHUNK width.
+3. **Row tiles**: each output row's products are assembled by one **row
+   gather** of its entries' chunks (indices are static per sparsity
+   structure — computed on host by the planner, like the reference's CPU
+   classifier nGpuSpMM.cc:48-83).
+4. **Sort–compress** (the ESC of tryOutCompute.cu / kernel.cu): one
+   minor-axis `lax.sort` orders each row's products by column; duplicates
+   are summed with a cumsum-difference (prefix sums at run ends, adjacent
+   after compaction, so one shift-subtract yields run totals); a second
+   minor-axis sort compacts survivors to the lane front.
+5. **Assembly**: counts → row_ptr by cumsum; the flat CSR is produced by
+   one packed int64 element-gather at nnz(C) scale (the only
+   element-granularity op, unavoidable for the standard format).
+
+Rows whose padded width exceeds the largest tile fall back to the global
+ESC on their products (the 'olarge' escape, mindex2-cuda/\\:23-143).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import INDEX_DTYPE, QVALUE_DTYPE
+from ..formats.csr import CSR
+from .segments import exclusive_cumsum, repeat_segments
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+CHUNK = 128  # chunk width: row-gather granularity (tuned by probe)
+MAX_W = 8192  # largest row tile; beyond -> huge fallback
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class EllPlan:
+    """Static per-structure plan (identity-hashed jit static arg)."""
+
+    # B re-layout: one ELL array per segment-width class
+    b_classes: tuple  # tuple[(S, np.int32[rows_S] b_row_ids)]
+    # expansion: per class, the A entries whose B row is in that class
+    ent_classes: tuple  # tuple[(S, np.int32[E_S] a_entry_idx, np.int32[E_S] b_slot)]
+    # chunk base of each class segment region in the global chunk array
+    class_chunk_base: tuple  # int per class
+    total_chunks: int  # incl. 1 sentinel chunk at index total_chunks-1
+    # row tiles: per width-class bin
+    bins: tuple  # tuple[(W, np.int32[R_b] row_ids, np.int32[R_b*W/CHUNK] tile_src)]
+    huge_rows: np.ndarray
+    huge_rp: np.ndarray
+    huge_src: np.ndarray
+    huge_flops: int
+    # assembly
+    rows: int
+    ncols: int
+    out_cap: int
+    row_bin: np.ndarray  # int32[rows]: bin id, -1 none, -2 huge
+    row_slot: np.ndarray  # int32[rows]: slot in its bin / huge list
+
+    __hash__ = object.__hash__
+
+
+def plan_ell(a: CSR, b: CSR, chunk: int = CHUNK, max_w: int = MAX_W) -> EllPlan:
+    rp = np.asarray(a.row_ptr, dtype=np.int64)
+    nnz = int(rp[-1])
+    acol = np.asarray(a.col_ind)[:nnz]
+    brp = np.asarray(b.row_ptr, dtype=np.int64)
+    bcounts = np.diff(brp)
+    m = a.rows
+
+    safe = np.clip(acol, 0, b.rows - 1)
+    elen = bcounts[safe].astype(np.int64)
+    # per-entry padded width (0 for empty segments — they emit nothing)
+    epw = np.where(
+        elen > 0, np.maximum(chunk, 2 ** np.ceil(np.log2(np.maximum(elen, 1))).astype(np.int64)), 0
+    )
+    counts_a = np.diff(rp)
+    erow = np.repeat(np.arange(m), counts_a)
+    prow_w = np.zeros(m, dtype=np.int64)  # padded row width
+    np.add.at(prow_w, erow, epw)
+    rf = np.zeros(m, dtype=np.int64)
+    np.add.at(rf, erow, elen)
+
+    # ---- B classes ------------------------------------------------------
+    bpw = np.where(
+        bcounts > 0,
+        np.maximum(chunk, 2 ** np.ceil(np.log2(np.maximum(bcounts, 1))).astype(np.int64)),
+        0,
+    )
+    b_classes = []
+    b_class_of_row = np.full(b.rows, -1, np.int32)
+    b_slot_of_row = np.zeros(b.rows, np.int32)
+    max_s = (
+        max(_pow2ceil(int(bcounts.max())), chunk)
+        if bcounts.size and bcounts.max() > 0
+        else 0
+    )
+    s = chunk
+    while s <= max_s:
+        sel = np.nonzero(bpw == s)[0]
+        if sel.size:
+            b_class_of_row[sel] = len(b_classes)
+            b_slot_of_row[sel] = np.arange(sel.size, dtype=np.int32)
+            b_classes.append((int(s), sel.astype(np.int32)))
+        s *= 2
+
+    # ---- entry classes + chunk layout ----------------------------------
+    ent_classes = []
+    class_chunk_base = []
+    chunk_base = 0
+    ent_chunk_start = np.zeros(nnz, dtype=np.int64)  # first chunk of entry
+    for ci, (S, b_rows) in enumerate(b_classes):
+        sel_e = np.nonzero((b_class_of_row[safe] == ci) & (elen > 0))[0]
+        ent_classes.append(
+            (S, sel_e.astype(np.int32), b_slot_of_row[safe[sel_e]])
+        )
+        class_chunk_base.append(chunk_base)
+        cpe = S // chunk  # chunks per entry in this class
+        ent_chunk_start[sel_e] = chunk_base + np.arange(sel_e.size, dtype=np.int64) * cpe
+        chunk_base += sel_e.size * cpe
+    total_chunks = chunk_base + 1  # + sentinel chunk
+    sentinel_chunk = chunk_base
+
+    # ---- row tile bins --------------------------------------------------
+    wr = np.where(prow_w > 0, np.maximum(chunk, prow_w), 0)
+    wr_p2 = np.zeros(m, dtype=np.int64)
+    pos = wr > 0
+    wr_p2[pos] = 2 ** np.ceil(np.log2(wr[pos])).astype(np.int64)
+    bins = []
+    row_bin = np.full(m, -1, np.int32)
+    row_slot = np.zeros(m, np.int32)
+    w = chunk
+    while w <= max_w:
+        sel = np.nonzero(wr_p2 == w)[0]
+        if sel.size:
+            bi = len(bins)
+            row_bin[sel] = bi
+            row_slot[sel] = np.arange(sel.size, dtype=np.int32)
+            cpr = w // chunk
+            tile_src = np.full((sel.size, cpr), sentinel_chunk, dtype=np.int64)
+            for si, r in enumerate(sel):
+                c = 0
+                for e in range(int(rp[r]), int(rp[r + 1])):
+                    ne = int(epw[e] // chunk)
+                    if ne:
+                        tile_src[si, c : c + ne] = ent_chunk_start[e] + np.arange(ne)
+                        c += ne
+            bins.append(
+                (int(w), sel.astype(np.int32), tile_src.reshape(-1).astype(np.int32))
+            )
+        w *= 2
+    huge = np.nonzero(wr_p2 > max_w)[0].astype(np.int32)
+    row_bin[huge] = -2
+    row_slot[huge] = np.arange(huge.size, dtype=np.int32)
+    hlens = (rp[huge + 1] - rp[huge]) if huge.size else np.zeros(0, np.int64)
+    huge_rp = np.zeros(huge.size + 1, dtype=np.int64)
+    np.cumsum(hlens, out=huge_rp[1:])
+    huge_src = (
+        np.concatenate([np.arange(rp[r], rp[r + 1]) for r in huge]).astype(
+            np.int32
+        )
+        if huge.size
+        else np.zeros(0, np.int32)
+    )
+    huge_flops = max(int(rf[huge].sum()), 1) if huge.size else 1
+
+    out_cap = int(np.minimum(rf, b.ncols).sum())
+    return EllPlan(
+        b_classes=tuple(b_classes),
+        ent_classes=tuple(ent_classes),
+        class_chunk_base=tuple(class_chunk_base),
+        total_chunks=total_chunks,
+        bins=tuple(bins),
+        huge_rows=huge,
+        huge_rp=huge_rp.astype(np.int32),
+        huge_src=huge_src,
+        huge_flops=huge_flops,
+        rows=m,
+        ncols=b.ncols,
+        out_cap=max(out_cap, 1),
+        row_bin=row_bin,
+        row_slot=row_slot,
+    )
+
+
+# ---------------------------------------------------------------------------
+# jitted pipeline
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("plan", "chunk"))
+def _spgemm_ell_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
+    m, ncols = plan.rows, plan.ncols
+
+    # 1. B ELL classes (element gather at ~2*nnzB scale)
+    b_ells = []
+    for S, b_rows in plan.b_classes:
+        rows_s = jnp.asarray(b_rows)
+        start = jnp.take(b.row_ptr, rows_s)[:, None]
+        cnt = (jnp.take(b.row_ptr, rows_s + 1) - start[:, 0])[:, None]
+        lanes = jnp.arange(S, dtype=INDEX_DTYPE)[None, :]
+        idx = jnp.clip(start + lanes, 0, b.capacity - 1)
+        valid = lanes < cnt
+        ec = jnp.where(valid, jnp.take(b.col_ind, idx), ncols)
+        ev = jnp.where(valid, jnp.take(b.values, idx), 0.0)
+        b_ells.append((ec.astype(INDEX_DTYPE), ev.astype(QVALUE_DTYPE)))
+
+    # 2. expansion: per class, row-gather B segments, scale by A values
+    chunks_c = [jnp.full((1, chunk), ncols, INDEX_DTYPE)]
+    chunks_v = [jnp.zeros((1, chunk), QVALUE_DTYPE)]
+    order = []
+    for ci, (S, ent_idx, b_slot) in enumerate(plan.ent_classes):
+        if ent_idx.size == 0:
+            continue
+        ec, ev = b_ells[ci]
+        slots = jnp.asarray(b_slot)
+        pc = jnp.take(ec, slots, axis=0)  # [E_S, S] row gather
+        pv = jnp.take(ev, slots, axis=0)
+        aval = jnp.take(a.values, jnp.asarray(ent_idx))[:, None]
+        pv = pv * aval
+        chunks_c.append(pc.reshape(-1, chunk))
+        chunks_v.append(pv.reshape(-1, chunk))
+        order.append(ci)
+    # concat in class order; chunk indices in the plan assume this order
+    # with the sentinel chunk LAST -> build accordingly then roll sentinel
+    sent_c = chunks_c.pop(0)
+    sent_v = chunks_v.pop(0)
+    prod_c = jnp.concatenate(chunks_c + [sent_c], axis=0) if chunks_c else sent_c
+    prod_v = jnp.concatenate(chunks_v + [sent_v], axis=0) if chunks_v else sent_v
+
+    # 3-4. per-bin row tiles: gather chunks, sort, dedup, compact
+    results = []
+    counts = jnp.zeros((m,), INDEX_DTYPE)
+    for bi, (W, row_ids, tile_src) in enumerate(plan.bins):
+        src = jnp.asarray(tile_src)
+        tc = jnp.take(prod_c, src, axis=0).reshape(-1, W)  # row gather
+        tv = jnp.take(prod_v, src, axis=0).reshape(-1, W)
+        tc, tv = jax.lax.sort((tc, tv), dimension=1, num_keys=1)
+        csum = jnp.cumsum(tv, axis=1)
+        nxt = jnp.concatenate(
+            [tc[:, 1:], jnp.full((tc.shape[0], 1), ncols, INDEX_DTYPE)], axis=1
+        )
+        is_last = (tc != nxt) & (tc < ncols)
+        key2 = jnp.where(is_last, tc, ncols)
+        key2, csum2 = jax.lax.sort((key2, csum), dimension=1, num_keys=1)
+        prev = jnp.concatenate(
+            [jnp.zeros((key2.shape[0], 1), QVALUE_DTYPE), csum2[:, :-1]], axis=1
+        )
+        uval = jnp.where(key2 < ncols, csum2 - prev, 0.0)
+        cnt = jnp.sum(key2 < ncols, axis=1).astype(INDEX_DTYPE)
+        results.append((key2, uval))
+        counts = counts.at[jnp.asarray(row_ids)].set(cnt, mode="drop")
+
+    # huge fallback
+    huge_c = None
+    if plan.huge_rows.size:
+        from .spgemm import spgemm as esc_spgemm
+
+        src = jnp.asarray(plan.huge_src)
+        huge_csr = CSR(
+            jnp.asarray(plan.huge_rp),
+            jnp.take(a.col_ind, src),
+            jnp.take(a.values, src),
+            a.ncols,
+        )
+        huge_c = esc_spgemm(huge_csr, b, plan.huge_flops, plan.huge_flops)
+        counts = counts.at[jnp.asarray(plan.huge_rows)].set(
+            huge_c.row_counts(), mode="drop"
+        )
+
+    # 5. assembly
+    out_rp = exclusive_cumsum(counts).astype(INDEX_DTYPE)
+    out_cap = plan.out_cap
+    q = jnp.arange(out_cap, dtype=INDEX_DTYPE)
+    total = out_rp[-1]
+    qvalid = q < total
+    row = repeat_segments(out_rp[:-1], counts > 0, out_cap)
+    safe_row = jnp.clip(row, 0, m - 1)
+    # start of each slot's row, without a gather: scatter starts + cummax
+    row_start = (
+        jnp.zeros((out_cap,), INDEX_DTYPE)
+        .at[jnp.where(counts > 0, out_rp[:-1], out_cap)]
+        .max(out_rp[:-1], mode="drop")
+    )
+    row_start = jax.lax.cummax(row_start)
+    pos = q - row_start
+    slot = jnp.take(jnp.asarray(plan.row_slot), safe_row)
+    rbin = jnp.take(jnp.asarray(plan.row_bin), safe_row)
+
+    ccol = jnp.full((out_cap,), ncols, INDEX_DTYPE)
+    cval = jnp.zeros((out_cap,), QVALUE_DTYPE)
+    for bi, (W, row_ids, _) in enumerate(plan.bins):
+        key2, uval = results[bi]
+        # (col, val) pairs so one gather fetches both (no int64 on TPU path)
+        vbits = jax.lax.bitcast_convert_type(uval, jnp.int32)
+        packed = jnp.stack([key2, vbits], axis=-1).reshape(-1, 2)
+        inb = qvalid & (rbin == bi) & (pos < W)
+        flat = jnp.where(inb, slot * W + pos, 0)
+        g = jnp.take(packed, flat, axis=0)
+        gcol = g[:, 0]
+        gval = jax.lax.bitcast_convert_type(g[:, 1], jnp.float32)
+        ccol = jnp.where(inb, gcol, ccol)
+        cval = jnp.where(inb, gval, cval)
+    if huge_c is not None:
+        inh = qvalid & (rbin == -2)
+        hstart = jnp.take(huge_c.row_ptr, jnp.where(inh, slot, 0))
+        hidx = jnp.clip(hstart + jnp.where(inh, pos, 0), 0, huge_c.capacity - 1)
+        ccol = jnp.where(inh, jnp.take(huge_c.col_ind, hidx), ccol)
+        cval = jnp.where(inh, jnp.take(huge_c.values, hidx), cval)
+    ccol = jnp.where(qvalid, ccol, ncols)
+    cval = jnp.where(qvalid, cval, 0.0)
+    return CSR(out_rp, ccol, cval, ncols)
+
+
+def spgemm_ell(a: CSR, b: CSR, plan: EllPlan | None = None) -> CSR:
+    """C = A·B via the ELL-ESC pipeline (ordered, duplicate-summed)."""
+    if plan is None:
+        plan = plan_ell(a, b)
+    return _spgemm_ell_impl(a, b, plan, CHUNK)

@@ -1,0 +1,88 @@
+"""ELL-ESC SpGEMM (the fast pipeline) vs oracles."""
+
+import numpy as np
+import pytest
+
+from sparse_matrix_with_flops_tpu.formats.csr import CSR
+from sparse_matrix_with_flops_tpu.ops.ell_esc import (
+    _spgemm_ell_impl,
+    plan_ell,
+    spgemm_ell,
+)
+from sparse_matrix_with_flops_tpu.ops.spgemm import (
+    matmul,
+    spgemm_dense_oracle,
+)
+from sparse_matrix_with_flops_tpu.utils.generate import banded_csr, rmat_csr
+
+from conftest import random_csr_np
+
+
+def _random_csr(rng, rows, cols, density):
+    rp, c, v = random_csr_np(rng, rows, cols, density)
+    return CSR.from_arrays(rp, c, v, ncols=cols)
+
+
+@pytest.mark.parametrize("chunk,max_w", [(4, 32), (8, 64)])
+@pytest.mark.parametrize("density", [0.05, 0.25])
+def test_ell_esc_matches_oracle(rng, chunk, max_w, density):
+    a = _random_csr(rng, 40, 48, density)
+    b = _random_csr(rng, 48, 40, density)
+    plan = plan_ell(a, b, chunk=chunk, max_w=max_w)
+    got = _spgemm_ell_impl(a, b, plan, chunk)
+    want = spgemm_dense_oracle(a, b)
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-4
+        )
+    )
+
+
+def test_ell_esc_rmat():
+    a = rmat_csr(7, edge_factor=6, seed=3, weights="random")
+    plan = plan_ell(a, a, chunk=8, max_w=256)
+    got = _spgemm_ell_impl(a, a, plan, 8)
+    want = matmul(a, a).make_ordered()
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-4
+        )
+    )
+
+
+def test_ell_esc_banded():
+    a = banded_csr(64, bandwidth=4, seed=2)
+    plan = plan_ell(a, a, chunk=8, max_w=256)
+    got = _spgemm_ell_impl(a, a, plan, 8)
+    want = matmul(a, a).make_ordered()
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-4
+        )
+    )
+
+
+def test_ell_esc_default_entry(rng):
+    a = _random_csr(rng, 24, 24, 0.2)
+    got = spgemm_ell(a, a)  # default plan (CHUNK=128 -> everything one bin)
+    want = spgemm_dense_oracle(a, a)
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-4
+        )
+    )
+
+
+def test_ell_esc_empty_rows(rng):
+    dense = np.zeros((16, 16), np.float32)
+    dense[3, 5] = 2.0
+    dense[5, 7] = 3.0
+    a = CSR.from_dense(dense)
+    plan = plan_ell(a, a, chunk=4, max_w=32)
+    got = _spgemm_ell_impl(a, a, plan, 4)
+    want = spgemm_dense_oracle(a, a)
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-6
+        )
+    )
