@@ -203,11 +203,45 @@ def plan_ell(a: CSR, b: CSR, chunk: int = CHUNK, max_w: int = MAX_W) -> EllPlan:
 
 
 # ---------------------------------------------------------------------------
-# jitted pipeline
+# jitted pipeline (two phases: tiles+counts, then exact-size assembly)
 # ---------------------------------------------------------------------------
+_LAYOUTS: dict = {}
+
+
+def _flat_layout(plan: EllPlan):
+    """Host-side flat region layout of all compacted tiles + the huge-row
+    stream (memoised per plan identity)."""
+    lay = _LAYOUTS.get(id(plan))
+    if lay is not None:
+        return lay
+    base = 0
+    bin_starts = []
+    flat_base = np.zeros(plan.rows, dtype=np.int64)
+    for W, row_ids, _ in plan.bins:
+        bin_starts.append(base)
+        flat_base[row_ids] = base + np.arange(row_ids.size, dtype=np.int64) * W
+        base += row_ids.size * W
+    huge_start = base
+    base += plan.huge_flops  # capacity of the huge-row unique stream
+    lay = {
+        "bin_starts": tuple(bin_starts),
+        "flat_base": flat_base,
+        "huge_start": huge_start,
+        "flat_total": base,
+    }
+    _LAYOUTS[id(plan)] = lay
+    return lay
+
+
 @partial(jax.jit, static_argnames=("plan", "chunk"))
-def _spgemm_ell_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
+def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
+    """Phase 1: expansion + per-bin sort/dedup/compaction.
+
+    Returns (packed [flat_total, 2] int32 (col, val-bits), counts [m],
+    flat_base [m] incl. huge rows).
+    """
     m, ncols = plan.rows, plan.ncols
+    lay = _flat_layout(plan)
 
     # 1. B ELL classes (element gather at ~2*nnzB scale)
     b_ells = []
@@ -223,9 +257,9 @@ def _spgemm_ell_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
         b_ells.append((ec.astype(INDEX_DTYPE), ev.astype(QVALUE_DTYPE)))
 
     # 2. expansion: per class, row-gather B segments, scale by A values
-    chunks_c = [jnp.full((1, chunk), ncols, INDEX_DTYPE)]
-    chunks_v = [jnp.zeros((1, chunk), QVALUE_DTYPE)]
-    order = []
+    sent_c = jnp.full((1, chunk), ncols, INDEX_DTYPE)
+    sent_v = jnp.zeros((1, chunk), QVALUE_DTYPE)
+    chunks_c, chunks_v = [], []
     for ci, (S, ent_idx, b_slot) in enumerate(plan.ent_classes):
         if ent_idx.size == 0:
             continue
@@ -234,20 +268,14 @@ def _spgemm_ell_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
         pc = jnp.take(ec, slots, axis=0)  # [E_S, S] row gather
         pv = jnp.take(ev, slots, axis=0)
         aval = jnp.take(a.values, jnp.asarray(ent_idx))[:, None]
-        pv = pv * aval
         chunks_c.append(pc.reshape(-1, chunk))
-        chunks_v.append(pv.reshape(-1, chunk))
-        order.append(ci)
-    # concat in class order; chunk indices in the plan assume this order
-    # with the sentinel chunk LAST -> build accordingly then roll sentinel
-    sent_c = chunks_c.pop(0)
-    sent_v = chunks_v.pop(0)
+        chunks_v.append((pv * aval).reshape(-1, chunk))
     prod_c = jnp.concatenate(chunks_c + [sent_c], axis=0) if chunks_c else sent_c
     prod_v = jnp.concatenate(chunks_v + [sent_v], axis=0) if chunks_v else sent_v
 
     # 3-4. per-bin row tiles: gather chunks, sort, dedup, compact
-    results = []
     counts = jnp.zeros((m,), INDEX_DTYPE)
+    packed_parts = []
     for bi, (W, row_ids, tile_src) in enumerate(plan.bins):
         src = jnp.asarray(tile_src)
         tc = jnp.take(prod_c, src, axis=0).reshape(-1, W)  # row gather
@@ -265,11 +293,14 @@ def _spgemm_ell_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
         )
         uval = jnp.where(key2 < ncols, csum2 - prev, 0.0)
         cnt = jnp.sum(key2 < ncols, axis=1).astype(INDEX_DTYPE)
-        results.append((key2, uval))
         counts = counts.at[jnp.asarray(row_ids)].set(cnt, mode="drop")
+        vbits = jax.lax.bitcast_convert_type(uval, jnp.int32)
+        packed_parts.append(
+            jnp.stack([key2.reshape(-1), vbits.reshape(-1)], axis=-1)
+        )
 
-    # huge fallback
-    huge_c = None
+    flat_base = jnp.asarray(lay["flat_base"].astype(np.int32))
+    # huge fallback: global ESC on the heavy-row submatrix
     if plan.huge_rows.size:
         from .spgemm import spgemm as esc_spgemm
 
@@ -284,53 +315,84 @@ def _spgemm_ell_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
         counts = counts.at[jnp.asarray(plan.huge_rows)].set(
             huge_c.row_counts(), mode="drop"
         )
+        hbits = jax.lax.bitcast_convert_type(huge_c.values, jnp.int32)
+        packed_parts.append(
+            jnp.stack([huge_c.col_ind, hbits], axis=-1)
+        )
+        flat_base = flat_base.at[jnp.asarray(plan.huge_rows)].set(
+            lay["huge_start"] + huge_c.row_ptr[:-1]
+        )
+    packed = (
+        jnp.concatenate(packed_parts, axis=0)
+        if packed_parts
+        else jnp.zeros((1, 2), jnp.int32)
+    )
+    return packed, counts, flat_base
 
-    # 5. assembly
+
+@partial(jax.jit, static_argnames=("plan", "out_cap"))
+def _assemble_impl(packed, counts, flat_base, plan: EllPlan, out_cap: int):
+    """Phase 2: counts -> row_ptr; one pair-gather builds the flat CSR."""
+    m, ncols = plan.rows, plan.ncols
     out_rp = exclusive_cumsum(counts).astype(INDEX_DTYPE)
-    out_cap = plan.out_cap
     q = jnp.arange(out_cap, dtype=INDEX_DTYPE)
     total = out_rp[-1]
     qvalid = q < total
-    row = repeat_segments(out_rp[:-1], counts > 0, out_cap)
+    nonempty = counts > 0
+    starts = out_rp[:-1]
+
+    # slot -> row (scatter-at-start + cummax; row ids are monotone)
+    row = repeat_segments(starts, nonempty, out_cap)
     safe_row = jnp.clip(row, 0, m - 1)
-    # start of each slot's row, without a gather: scatter starts + cummax
-    row_start = (
-        jnp.zeros((out_cap,), INDEX_DTYPE)
-        .at[jnp.where(counts > 0, out_rp[:-1], out_cap)]
-        .max(out_rp[:-1], mode="drop")
-    )
-    row_start = jax.lax.cummax(row_start)
-    pos = q - row_start
-    slot = jnp.take(jnp.asarray(plan.row_slot), safe_row)
-    rbin = jnp.take(jnp.asarray(plan.row_bin), safe_row)
-
-    ccol = jnp.full((out_cap,), ncols, INDEX_DTYPE)
-    cval = jnp.zeros((out_cap,), QVALUE_DTYPE)
-    for bi, (W, row_ids, _) in enumerate(plan.bins):
-        key2, uval = results[bi]
-        # (col, val) pairs so one gather fetches both (no int64 on TPU path)
-        vbits = jax.lax.bitcast_convert_type(uval, jnp.int32)
-        packed = jnp.stack([key2, vbits], axis=-1).reshape(-1, 2)
-        inb = qvalid & (rbin == bi) & (pos < W)
-        flat = jnp.where(inb, slot * W + pos, 0)
-        g = jnp.take(packed, flat, axis=0)
-        gcol = g[:, 0]
-        gval = jax.lax.bitcast_convert_type(g[:, 1], jnp.float32)
-        ccol = jnp.where(inb, gcol, ccol)
-        cval = jnp.where(inb, gval, cval)
-    if huge_c is not None:
-        inh = qvalid & (rbin == -2)
-        hstart = jnp.take(huge_c.row_ptr, jnp.where(inh, slot, 0))
-        hidx = jnp.clip(hstart + jnp.where(inh, pos, 0), 0, huge_c.capacity - 1)
-        ccol = jnp.where(inh, jnp.take(huge_c.col_ind, hidx), ccol)
-        cval = jnp.where(inh, jnp.take(huge_c.values, hidx), cval)
-    ccol = jnp.where(qvalid, ccol, ncols)
-    cval = jnp.where(qvalid, cval, 0.0)
-    return CSR(out_rp, ccol, cval, ncols)
+    # one pair-gather pulls both the row start and its flat tile base
+    pairs = jnp.stack([starts, flat_base], axis=-1)  # [m, 2]
+    pr = jnp.take(pairs, safe_row, axis=0)
+    pos = q - pr[:, 0]
+    g = jnp.take(packed, jnp.where(qvalid, pr[:, 1] + pos, 0), axis=0)
+    ccol = jnp.where(qvalid, g[:, 0], ncols).astype(INDEX_DTYPE)
+    cval = jnp.where(
+        qvalid, jax.lax.bitcast_convert_type(g[:, 1], jnp.float32), 0.0
+    ).astype(QVALUE_DTYPE)
+    return CSR(jnp.minimum(out_rp, out_cap), ccol, cval, ncols)
 
 
-def spgemm_ell(a: CSR, b: CSR, plan: EllPlan | None = None) -> CSR:
-    """C = A·B via the ELL-ESC pipeline (ordered, duplicate-summed)."""
+def spgemm_ell(
+    a: CSR,
+    b: CSR,
+    plan: EllPlan | None = None,
+    out_cap: int | None = None,
+    exact: bool = True,
+) -> CSR:
+    """C = A·B via the ELL-ESC pipeline (ordered, duplicate-summed).
+
+    ``exact=True`` host-syncs the exact nnz(C) after the symbolic/compute
+    phase and sizes the output to the next power of two (the reference
+    GPU pipeline does the same device->host nnz read, gpu_csr_kernel.cu:
+    152); ``exact=False`` uses the static upper bound from the plan.
+    """
     if plan is None:
         plan = plan_ell(a, b)
-    return _spgemm_ell_impl(a, b, plan, CHUNK)
+    packed, counts, flat_base = _tiles_impl(a, b, plan, CHUNK)
+    if out_cap is None:
+        if exact:
+            nnzc = int(jnp.sum(counts))
+            out_cap = max(_pow2ceil(max(nnzc, 1)), 8)
+        else:
+            out_cap = plan.out_cap
+    return _assemble_impl(packed, counts, flat_base, plan, int(out_cap))
+
+
+def spgemm_ell_symbolic(a: CSR, b: CSR, plan: EllPlan | None = None):
+    """Exact per-row nnz(C) + row_ptr without assembly (two-phase API
+    parity with cpu_csr_kernel.h:63-102)."""
+    if plan is None:
+        plan = plan_ell(a, b)
+    _, counts, _ = _tiles_impl(a, b, plan, CHUNK)
+    row_ptr = exclusive_cumsum(counts).astype(INDEX_DTYPE)
+    return row_ptr, row_ptr[-1]
+
+
+# expose the one-shot impl for tests that pin chunk/max_w
+def _spgemm_ell_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int) -> CSR:
+    packed, counts, flat_base = _tiles_impl(a, b, plan, chunk)
+    return _assemble_impl(packed, counts, flat_base, plan, plan.out_cap)

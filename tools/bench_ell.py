@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sparse_matrix_with_flops_tpu.ops.ell_esc import _spgemm_ell_impl, plan_ell
+from sparse_matrix_with_flops_tpu.ops.ell_esc import plan_ell, spgemm_ell, _tiles_impl
 from sparse_matrix_with_flops_tpu.ops.spgemm import spgemm_upper_bounds
 from sparse_matrix_with_flops_tpu.utils.generate import rmat_csr
 from sparse_matrix_with_flops_tpu.utils.timing import bench_fn
@@ -49,7 +49,9 @@ def main():
     a = rmat_csr(scale, edge_factor=ef, seed=7, weights="random")
     cap, _ = spgemm_upper_bounds(a, a)
     t0 = time.monotonic()
-    plan = plan_ell(a, a)
+    import sparse_matrix_with_flops_tpu.ops.ell_esc as E
+    max_w = int(os.environ.get("MAX_W", "8192"))
+    plan = plan_ell(a, a, max_w=max_w)
     print(
         f"plan {time.monotonic()-t0:.1f}s  bins={[(w, len(r)) for w, r, _ in plan.bins]} "
         f"huge={plan.huge_rows.size} chunks={plan.total_chunks} out_cap={plan.out_cap}",
@@ -57,9 +59,16 @@ def main():
     )
     da = jax.device_put(a)
     t0 = time.monotonic()
-    ms = bench_fn(lambda x: _spgemm_ell_impl(x, x, plan, 128), da, warmup=1, iters=3)
+    ms_t = bench_fn(lambda x: _tiles_impl(x, x, plan, 128), da, warmup=1, iters=3)
     print(
-        f"ell-esc scale {scale}: {ms:.2f} ms (compile {time.monotonic()-t0:.0f}s) "
+        f"tiles-only scale {scale}: {ms_t:.2f} ms (compile {time.monotonic()-t0:.0f}s) "
+        f"GFLOPS={2.0*cap/ms_t/1e6:.3f}",
+        flush=True,
+    )
+    t0 = time.monotonic()
+    ms = bench_fn(lambda x: spgemm_ell(x, x, plan), da, warmup=1, iters=3)
+    print(
+        f"ell-esc (exact) scale {scale}: {ms:.2f} ms (compile {time.monotonic()-t0:.0f}s) "
         f"GFLOPS={2.0*cap/ms/1e6:.3f}",
         flush=True,
     )
