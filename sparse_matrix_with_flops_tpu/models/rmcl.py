@@ -167,6 +167,7 @@ def rmcl(
     track_differs: bool = True,
     track_row_growth: bool = False,
     backend: str = "ESC",
+    profile: bool = False,
 ) -> RmclResult:
     """Run R-MCL to ``max_iters`` (RMCL entry point, qrmcl.cc:136-164).
 
@@ -203,13 +204,20 @@ def rmcl(
             overflow=bool(np.any(np.asarray(hist["overflow"]))),
         )
 
-    # host loop: re-plan capacities per iteration (mtRmclIter shape)
+    # host loop: re-plan capacities per iteration (mtRmclIter shape).
+    # Phase-labelled spans mirror the reference's -Dprofiling build
+    # (static_omp_csr_kernel.cc:102-183 spans; SURVEY.md §5).
+    from ..utils.timing import Profiler
+
+    prof = Profiler(enabled=profile)
     mt = mt0
     nnzs, flopss, diffs, growth = [], [], [], []
     overflow = False
     for _ in range(max_iters):
-        pc, cc = plan_capacities(mgt, mt, margin=1.0)
-        new_mt, info = step_impl(mgt, mt, pc, max(cc, mt.capacity))
+        with prof.span("plan"):
+            pc, cc = plan_capacities(mgt, mt, margin=1.0)
+        with prof.span("one_step", block_on=None):
+            new_mt, info = step_impl(mgt, mt, pc, max(cc, mt.capacity))
         if track_differs:
             diffs.append(float(csr_differs(mt, new_mt)))
         if track_row_growth:
@@ -218,6 +226,8 @@ def rmcl(
         flopss.append(int(info["flops"]))
         overflow |= bool(info["overflow_mt"]) or bool(info["overflow_c"])
         mt = new_mt
+    if profile:
+        print(prof.report())
     return RmclResult(
         mt=mt,
         iters=max_iters,

@@ -79,7 +79,19 @@ class EllPlan:
     __hash__ = object.__hash__
 
 
-def plan_ell(a: CSR, b: CSR, chunk: int = CHUNK, max_w: int = MAX_W) -> EllPlan:
+def _qpad8(n: int) -> int:
+    """Quantised padding: next power of two, min 8 — keeps bin shapes in a
+    small set so re-planning across R-MCL iterations hits the jit cache."""
+    return max(8, _pow2ceil(n))
+
+
+def plan_ell(
+    a: CSR,
+    b: CSR,
+    chunk: int = CHUNK,
+    max_w: int = MAX_W,
+    quantize: bool = False,
+) -> EllPlan:
     rp = np.asarray(a.row_ptr, dtype=np.int64)
     nnz = int(rp[-1])
     acol = np.asarray(a.col_ind)[:nnz]
@@ -120,6 +132,9 @@ def plan_ell(a: CSR, b: CSR, chunk: int = CHUNK, max_w: int = MAX_W) -> EllPlan:
         if sel.size:
             b_class_of_row[sel] = len(b_classes)
             b_slot_of_row[sel] = np.arange(sel.size, dtype=np.int32)
+            if quantize:
+                pad = _qpad8(sel.size) - sel.size
+                sel = np.concatenate([sel, np.full(pad, -1, sel.dtype)])
             b_classes.append((int(s), sel.astype(np.int32)))
         s *= 2
 
@@ -130,17 +145,25 @@ def plan_ell(a: CSR, b: CSR, chunk: int = CHUNK, max_w: int = MAX_W) -> EllPlan:
     ent_chunk_start = np.zeros(nnz, dtype=np.int64)  # first chunk of entry
     for ci, (S, b_rows) in enumerate(b_classes):
         sel_e = np.nonzero((b_class_of_row[safe] == ci) & (elen > 0))[0]
-        ent_classes.append(
-            (S, sel_e.astype(np.int32), b_slot_of_row[safe[sel_e]])
-        )
+        slots = b_slot_of_row[safe[sel_e]]
         class_chunk_base.append(chunk_base)
         cpe = S // chunk  # chunks per entry in this class
-        ent_chunk_start[sel_e] = chunk_base + np.arange(sel_e.size, dtype=np.int64) * cpe
+        ent_chunk_start[sel_e] = (
+            chunk_base + np.arange(sel_e.size, dtype=np.int64) * cpe
+        )
         chunk_base += sel_e.size * cpe
+        if quantize:
+            pad = _qpad8(sel_e.size) - sel_e.size
+            # pad entries point at the class's sentinel slot (-1): the
+            # impl routes them to an all-sentinel ELL row
+            sel_e = np.concatenate([sel_e, np.zeros(pad, sel_e.dtype)])
+            slots = np.concatenate([slots, np.full(pad, -1, slots.dtype)])
+            chunk_base += pad * cpe
+        ent_classes.append((S, sel_e.astype(np.int32), slots.astype(np.int32)))
     total_chunks = chunk_base + 1  # + sentinel chunk
     sentinel_chunk = chunk_base
 
-    # ---- row tile bins --------------------------------------------------
+    # ---- row tile bins (vectorised tile_src construction) ---------------
     wr = np.where(prow_w > 0, np.maximum(chunk, prow_w), 0)
     wr_p2 = np.zeros(m, dtype=np.int64)
     pos = wr > 0
@@ -148,6 +171,12 @@ def plan_ell(a: CSR, b: CSR, chunk: int = CHUNK, max_w: int = MAX_W) -> EllPlan:
     bins = []
     row_bin = np.full(m, -1, np.int32)
     row_slot = np.zeros(m, np.int32)
+    ne_all = (epw // chunk).astype(np.int64)  # chunks per entry
+    # within-row chunk offset of each entry (entries are row-major)
+    ne_cum = np.zeros(nnz + 1, dtype=np.int64)
+    np.cumsum(ne_all, out=ne_cum[1:])
+    row_first_cum = ne_cum[rp[:-1]]  # per row: cum chunks before its entries
+    wrc = ne_cum[:-1] - np.repeat(row_first_cum, counts_a)
     w = chunk
     while w <= max_w:
         sel = np.nonzero(wr_p2 == w)[0]
@@ -156,16 +185,37 @@ def plan_ell(a: CSR, b: CSR, chunk: int = CHUNK, max_w: int = MAX_W) -> EllPlan:
             row_bin[sel] = bi
             row_slot[sel] = np.arange(sel.size, dtype=np.int32)
             cpr = w // chunk
-            tile_src = np.full((sel.size, cpr), sentinel_chunk, dtype=np.int64)
-            for si, r in enumerate(sel):
-                c = 0
-                for e in range(int(rp[r]), int(rp[r + 1])):
-                    ne = int(epw[e] // chunk)
-                    if ne:
-                        tile_src[si, c : c + ne] = ent_chunk_start[e] + np.arange(ne)
-                        c += ne
+            rpad = _qpad8(sel.size) if quantize else sel.size
+            # entries belonging to the bin's rows, with their target slots
+            in_bin = np.zeros(m, dtype=bool)
+            in_bin[sel] = True
+            e_sel = np.nonzero(in_bin[erow] & (ne_all > 0))[0]
+            ne = ne_all[e_sel]
+            tot = int(ne.sum())
+            base_rep = np.repeat(ent_chunk_start[e_sel], ne)
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(ne)[:-1]]), ne
+            )
+            src_vals = base_rep + within
+            dest = (
+                np.repeat(
+                    row_slot[erow[e_sel]].astype(np.int64) * cpr
+                    + wrc[e_sel],
+                    ne,
+                )
+                + within
+            )
+            tile_src = np.full(rpad * cpr, sentinel_chunk, dtype=np.int64)
+            tile_src[dest] = src_vals
+            sel_p = (
+                np.concatenate(
+                    [sel, np.full(rpad - sel.size, -1, sel.dtype)]
+                )
+                if rpad > sel.size
+                else sel
+            )
             bins.append(
-                (int(w), sel.astype(np.int32), tile_src.reshape(-1).astype(np.int32))
+                (int(w), sel_p.astype(np.int32), tile_src.astype(np.int32))
             )
         w *= 2
     huge = np.nonzero(wr_p2 > max_w)[0].astype(np.int32)
@@ -219,10 +269,18 @@ def _flat_layout(plan: EllPlan):
     flat_base = np.zeros(plan.rows, dtype=np.int64)
     for W, row_ids, _ in plan.bins:
         bin_starts.append(base)
-        flat_base[row_ids] = base + np.arange(row_ids.size, dtype=np.int64) * W
+        valid = row_ids >= 0
+        flat_base[row_ids[valid]] = (
+            base + np.arange(row_ids.size, dtype=np.int64)[valid] * W
+        )
         base += row_ids.size * W
     huge_start = base
-    base += plan.huge_flops  # capacity of the huge-row unique stream
+    # huge rows go through the dense-MXU path: their compacted region is
+    # one full-width row each
+    flat_base[plan.huge_rows] = huge_start + np.arange(
+        plan.huge_rows.size, dtype=np.int64
+    ) * plan.ncols
+    base += plan.huge_rows.size * plan.ncols
     lay = {
         "bin_starts": tuple(bin_starts),
         "flat_base": flat_base,
@@ -247,13 +305,22 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
     b_ells = []
     for S, b_rows in plan.b_classes:
         rows_s = jnp.asarray(b_rows)
-        start = jnp.take(b.row_ptr, rows_s)[:, None]
-        cnt = (jnp.take(b.row_ptr, rows_s + 1) - start[:, 0])[:, None]
+        ok = (rows_s >= 0)[:, None]
+        safe_rows = jnp.clip(rows_s, 0, b.rows - 1)
+        start = jnp.take(b.row_ptr, safe_rows)[:, None]
+        cnt = jnp.where(
+            ok, (jnp.take(b.row_ptr, safe_rows + 1)[:, None] - start), 0
+        )
         lanes = jnp.arange(S, dtype=INDEX_DTYPE)[None, :]
         idx = jnp.clip(start + lanes, 0, b.capacity - 1)
         valid = lanes < cnt
         ec = jnp.where(valid, jnp.take(b.col_ind, idx), ncols)
         ev = jnp.where(valid, jnp.take(b.values, idx), 0.0)
+        # one sentinel row at the end: target of padded entry slots
+        ec = jnp.concatenate(
+            [ec, jnp.full((1, S), ncols, INDEX_DTYPE)], axis=0
+        )
+        ev = jnp.concatenate([ev, jnp.zeros((1, S), QVALUE_DTYPE)], axis=0)
         b_ells.append((ec.astype(INDEX_DTYPE), ev.astype(QVALUE_DTYPE)))
 
     # 2. expansion: per class, row-gather B segments, scale by A values
@@ -265,6 +332,7 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
             continue
         ec, ev = b_ells[ci]
         slots = jnp.asarray(b_slot)
+        slots = jnp.where(slots >= 0, slots, ec.shape[0] - 1)
         pc = jnp.take(ec, slots, axis=0)  # [E_S, S] row gather
         pv = jnp.take(ev, slots, axis=0)
         aval = jnp.take(a.values, jnp.asarray(ent_idx))[:, None]
@@ -293,34 +361,64 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
         )
         uval = jnp.where(key2 < ncols, csum2 - prev, 0.0)
         cnt = jnp.sum(key2 < ncols, axis=1).astype(INDEX_DTYPE)
-        counts = counts.at[jnp.asarray(row_ids)].set(cnt, mode="drop")
+        rid = jnp.asarray(row_ids)
+        counts = counts.at[jnp.where(rid >= 0, rid, m)].set(
+            cnt, mode="drop"
+        )
         vbits = jax.lax.bitcast_convert_type(uval, jnp.int32)
         packed_parts.append(
             jnp.stack([key2.reshape(-1), vbits.reshape(-1)], axis=-1)
         )
 
     flat_base = jnp.asarray(lay["flat_base"].astype(np.int32))
-    # huge fallback: global ESC on the heavy-row submatrix
+    # Heavy rows (flops of order ncols or more) go DENSE on the MXU: the
+    # reference's dense-accumulator idea (cpu_csr_kernel.h thread_data /
+    # DenseMatrix) reborn — scatter A_huge and B to dense, one big matmul
+    # (flops are nearly free on the MXU), then one minor-axis sort compacts
+    # each dense row back to sparse.
     if plan.huge_rows.size:
-        from .spgemm import spgemm as esc_spgemm
-
+        H = plan.huge_rows.size
+        K, N = b.rows, ncols
         src = jnp.asarray(plan.huge_src)
-        huge_csr = CSR(
-            jnp.asarray(plan.huge_rp),
-            jnp.take(a.col_ind, src),
-            jnp.take(a.values, src),
-            a.ncols,
+        hlens = np.diff(plan.huge_rp)
+        rows_rep = jnp.asarray(
+            np.repeat(np.arange(H, dtype=np.int32), hlens)
         )
-        huge_c = esc_spgemm(huge_csr, b, plan.huge_flops, plan.huge_flops)
+        a_d = jnp.zeros((H, K), QVALUE_DTYPE)
+        a_d = a_d.at[
+            rows_rep, jnp.clip(jnp.take(a.col_ind, src), 0, K - 1)
+        ].add(jnp.take(a.values, src))
+        # B densified in column slabs to bound memory (~512MB per slab)
+        slab = N
+        while K * slab * 4 > (512 << 20) and slab > 256:
+            slab = -(-slab // 2)
+        n_slabs = -(-N // slab)
+        b_erow = b.entry_rows()
+        c_parts = []
+        for s in range(n_slabs):
+            col_local = b.col_ind - s * slab
+            tgt = jnp.where(
+                b.entry_valid() & (col_local >= 0) & (col_local < slab),
+                col_local,
+                slab,
+            )
+            b_d = jnp.zeros((K, slab), QVALUE_DTYPE)
+            b_d = b_d.at[jnp.clip(b_erow, 0, K - 1), tgt].add(
+                b.values, mode="drop"
+            )
+            c_parts.append(
+                jnp.dot(a_d, b_d, preferred_element_type=jnp.float32)
+            )
+        c_d = jnp.concatenate(c_parts, axis=1)[:, :N]
+        lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, (H, N), 1)
+        key = jnp.where(c_d != 0, lanes, N)
+        key, vals = jax.lax.sort((key, c_d), dimension=1, num_keys=1)
         counts = counts.at[jnp.asarray(plan.huge_rows)].set(
-            huge_c.row_counts(), mode="drop"
+            jnp.sum(key < N, axis=1).astype(INDEX_DTYPE), mode="drop"
         )
-        hbits = jax.lax.bitcast_convert_type(huge_c.values, jnp.int32)
+        hbits = jax.lax.bitcast_convert_type(vals, jnp.int32)
         packed_parts.append(
-            jnp.stack([huge_c.col_ind, hbits], axis=-1)
-        )
-        flat_base = flat_base.at[jnp.asarray(plan.huge_rows)].set(
-            lay["huge_start"] + huge_c.row_ptr[:-1]
+            jnp.stack([key.reshape(-1), hbits.reshape(-1)], axis=-1)
         )
     packed = (
         jnp.concatenate(packed_parts, axis=0)
@@ -344,11 +442,10 @@ def _assemble_impl(packed, counts, flat_base, plan: EllPlan, out_cap: int):
     # slot -> row (scatter-at-start + cummax; row ids are monotone)
     row = repeat_segments(starts, nonempty, out_cap)
     safe_row = jnp.clip(row, 0, m - 1)
-    # one pair-gather pulls both the row start and its flat tile base
-    pairs = jnp.stack([starts, flat_base], axis=-1)  # [m, 2]
-    pr = jnp.take(pairs, safe_row, axis=0)
-    pos = q - pr[:, 0]
-    g = jnp.take(packed, jnp.where(qvalid, pr[:, 1] + pos, 0), axis=0)
+    # flat index = q + (flat_base - start)[row]: one small delta gather
+    delta = flat_base - starts
+    idx = q + jnp.take(delta, safe_row)
+    g = jnp.take(packed, jnp.where(qvalid, idx, 0), axis=0)
     ccol = jnp.where(qvalid, g[:, 0], ncols).astype(INDEX_DTYPE)
     cval = jnp.where(
         qvalid, jax.lax.bitcast_convert_type(g[:, 1], jnp.float32), 0.0
@@ -376,7 +473,10 @@ def spgemm_ell(
     if out_cap is None:
         if exact:
             nnzc = int(jnp.sum(counts))
-            out_cap = max(_pow2ceil(max(nnzc, 1)), 8)
+            # geometric 1.25x buckets bound both recompiles and overshoot
+            out_cap = 1024
+            while out_cap < nnzc:
+                out_cap = int(out_cap * 1.25 + 1023) & ~1023
         else:
             out_cap = plan.out_cap
     return _assemble_impl(packed, counts, flat_base, plan, int(out_cap))

@@ -100,3 +100,15 @@ def segment_sum(values: jax.Array, segment_ids: jax.Array, num_segments: int) ->
 
 def segment_max(values: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
     return jax.ops.segment_max(values, segment_ids, num_segments=num_segments)
+
+
+def key_value_sort(keys: jax.Array, values: jax.Array, descending: bool = False):
+    """Paired sort (key_value_qsort.h:14-42 parity).
+
+    The reference's templated quicksort with pluggable comparators becomes
+    one device sort; ``descending=True`` matches ``greaterThanFunction``
+    (used by rowDescendingOrderPermutation, CSR.cc:484-494).
+    """
+    k = -keys if descending else keys
+    k, v = jax.lax.sort((k, values), num_keys=1, is_stable=True)
+    return (-k if descending else k), v

@@ -86,3 +86,28 @@ def test_ell_esc_empty_rows(rng):
             want._drop_explicit_zeros(), tol=1e-6
         )
     )
+
+
+def test_ell_esc_quantized_plan(rng):
+    a = _random_csr(rng, 40, 48, 0.15)
+    b = _random_csr(rng, 48, 40, 0.15)
+    plan = plan_ell(a, b, chunk=8, max_w=64, quantize=True)
+    got = _spgemm_ell_impl(a, b, plan, 8)
+    want = spgemm_dense_oracle(a, b)
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-4
+        )
+    )
+
+
+def test_ell_esc_quantized_shapes_repeat(rng):
+    # two matrices with similar structure should produce identical static
+    # bin shapes under quantize=True (the jit-cache stability property)
+    a1 = _random_csr(rng, 40, 40, 0.2)
+    a2 = _random_csr(rng, 40, 40, 0.21)
+    p1 = plan_ell(a1, a1, chunk=8, max_w=64, quantize=True)
+    p2 = plan_ell(a2, a2, chunk=8, max_w=64, quantize=True)
+    s1 = [(w, r.shape, t.shape) for w, r, t in p1.bins]
+    s2 = [(w, r.shape, t.shape) for w, r, t in p2.bins]
+    assert s1 == s2
