@@ -1,0 +1,296 @@
+"""Static-shape fused R-MCL: the production TPU clustering loop.
+
+Key observation: in Mt' = prune(inflate(Mgt · Mt)) the left operand Mgt is
+FIXED across iterations (qrmcl.cc:141 — `Mgt = Mt.deepCopy()` once), and
+pruning keeps each row small.  Capping the iterate at ``S`` survivors per
+row — the standard MCL *selection number*; the reference's threshold prune
+(util.cc:47-69) almost always keeps far fewer — makes every shape in the
+loop static:
+
+* Mt lives as an ELL pair ``cols/vals [n, S]`` (sentinel-padded);
+* expansion is ONE row gather: segment of A entry e = Mt row ``col_e``;
+* row product tiles are planned once from Mgt's (fixed) degrees:
+  a degree-2^d row's tile is ``[*, 2^d · S]``, assembled by a static row
+  gather of its entries' segments;
+* the ESC sort–compress, the inflate/threshold/prune math (util.cc:4-69
+  constants), top-S selection (two value sorts), renormalisation, and the
+  convergence norm are all lane-axis ops on those tiles;
+* hub rows (degree beyond the largest tile) go through the dense-MXU
+  path: precomputed dense Mgt_huge @ dense(Mt) + dense prune/select.
+
+Result: ONE compiled step, `lax.scan`-able, iterate device-resident for
+the whole run — the multi-iteration generalisation of gpuRmclIter
+(gpu_csr_kernel.cu:281-311) with zero per-iteration host work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import INDEX_DTYPE, QVALUE_DTYPE
+from ..formats.csr import CSR
+from ..ops.prune import compute_threshold
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class RmclEllPlan:
+    """Static structure derived from Mgt (fixed for the whole run)."""
+
+    n: int
+    S: int  # selection cap (iterate width)
+    bins: tuple  # ((D, row_ids np.int32[R_b], ent_src np.int32[R_b*D]), ...)
+    huge_rows: np.ndarray  # degrees > max tile
+    huge_src: np.ndarray  # entry indices of huge rows (concatenated)
+    huge_lens: np.ndarray
+
+    __hash__ = object.__hash__
+
+
+def plan_rmcl_ell(mgt: CSR, S: int = 128, max_tile: int = 8192) -> RmclEllPlan:
+    """Bin Mgt rows by degree class; ent_src holds each row's A-entry ids
+    (sentinel -1 padding)."""
+    rp = np.asarray(mgt.row_ptr, dtype=np.int64)
+    m = mgt.rows
+    deg = np.diff(rp)
+    dmax_tile = max(max_tile // S, 1)
+    bins = []
+    d = 1
+    covered = np.zeros(m, dtype=bool)
+    while d <= dmax_tile:
+        lo = d // 2 + 1 if d > 1 else 1
+        sel = np.nonzero((deg >= lo) & (deg <= d))[0]
+        if sel.size:
+            ent_src = np.full((sel.size, d), -1, dtype=np.int64)
+            for k in range(d):
+                has = deg[sel] > k
+                ent_src[has, k] = rp[sel[has]] + k
+            bins.append(
+                (int(d), sel.astype(np.int32), ent_src.reshape(-1).astype(np.int32))
+            )
+            covered[sel] = True
+        d *= 2
+    huge = np.nonzero((deg > dmax_tile))[0].astype(np.int32)
+    huge_src = (
+        np.concatenate([np.arange(rp[r], rp[r + 1]) for r in huge]).astype(np.int32)
+        if huge.size
+        else np.zeros(0, np.int32)
+    )
+    huge_lens = deg[huge].astype(np.int32)
+    return RmclEllPlan(
+        n=m,
+        S=int(S),
+        bins=tuple(bins),
+        huge_rows=huge,
+        huge_src=huge_src,
+        huge_lens=huge_lens,
+    )
+
+
+def mt_to_ell(mt: CSR, S: int):
+    """Initial iterate: first-S truncation + renormalise (host)."""
+    rp = np.asarray(mt.row_ptr, dtype=np.int64)
+    n = mt.rows
+    cols = np.full((n, S), mt.ncols, np.int32)
+    vals = np.zeros((n, S), np.float32)
+    c = np.asarray(mt.col_ind)
+    v = np.asarray(mt.values)
+    for i in range(n):
+        k = min(int(rp[i + 1] - rp[i]), S)
+        cols[i, :k] = c[rp[i] : rp[i] + k]
+        vals[i, :k] = v[rp[i] : rp[i] + k]
+    s = vals.sum(axis=1, keepdims=True)
+    vals = np.where(s > 0, vals / np.maximum(s, 1e-30), vals)
+    return jnp.asarray(cols), jnp.asarray(vals)
+
+
+def ell_to_csr(cols, vals, ncols: int) -> CSR:
+    """Iterate back to CSR (host side, end of run)."""
+    cols_np = np.asarray(cols)
+    vals_np = np.asarray(vals)
+    n, S = cols_np.shape
+    keep = cols_np < ncols
+    counts = keep.sum(axis=1)
+    rp = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=rp[1:])
+    out_c = cols_np[keep]
+    out_v = vals_np[keep]
+    return CSR.from_arrays(rp.astype(np.int32), out_c, out_v, ncols)
+
+
+def _prune_select_lanes(key, uval, n, S):
+    """Fused inflate/threshold/prune + top-S selection + renormalise on a
+    compacted [R, W] tile (util.cc:4-69 semantics + MCL selection)."""
+    valid = key < n
+    w = jnp.where(valid, uval * uval, 0.0)  # inflation v^2
+    rsum = jnp.sum(w, axis=1)
+    rmax = jnp.max(w, axis=1)
+    rcount = jnp.sum(valid, axis=1).astype(QVALUE_DTYPE)
+    avg = rsum / jnp.maximum(rcount, 1.0)
+    thresh = compute_threshold(avg, rmax)
+    keep = valid & (w >= thresh[:, None])
+    truncated = jnp.sum(keep, axis=1) > S
+    # top-S by inflated value: sort by (-w | +inf), slice, re-sort by col
+    vkey = jnp.where(keep, -w, jnp.inf)
+    _, sc, sw = jax.lax.sort((vkey, key, w), dimension=1, num_keys=1)
+    sc = sc[:, :S]
+    sw = sw[:, :S]
+    kept = jnp.where(jnp.isfinite(_[:, :S]), True, False)
+    sc = jnp.where(kept, sc, n)
+    sw = jnp.where(kept, sw, 0.0)
+    sc, sw = jax.lax.sort((sc, sw), dimension=1, num_keys=1)
+    ksum = jnp.sum(sw, axis=1, keepdims=True)
+    sw = jnp.where(sc < n, sw / jnp.maximum(ksum, 1e-30), 0.0)
+    return sc.astype(INDEX_DTYPE), sw.astype(QVALUE_DTYPE), truncated
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
+    """One fused iteration on the ELL iterate.  ``a_dense_huge`` is the
+    precomputed dense block of Mgt's hub rows ([H, n] or None-shaped
+    (0, n))."""
+    n, S = plan.n, plan.S
+
+    # per-entry segments: one row gather of the iterate
+    safe_col = jnp.clip(a.col_ind, 0, n - 1)
+    seg_c = jnp.take(mt_cols, safe_col, axis=0)
+    seg_v = jnp.take(mt_vals, safe_col, axis=0) * a.values[:, None]
+    ev = a.entry_valid()[:, None]
+    seg_c = jnp.where(ev, seg_c, n)
+    seg_v = jnp.where(ev, seg_v, 0.0)
+    # sentinel segment for ent_src == -1
+    seg_c = jnp.concatenate([seg_c, jnp.full((1, S), n, INDEX_DTYPE)], axis=0)
+    seg_v = jnp.concatenate([seg_v, jnp.zeros((1, S), QVALUE_DTYPE)], axis=0)
+    sent = seg_c.shape[0] - 1
+
+    new_cols = jnp.full((n, S), n, INDEX_DTYPE)
+    new_vals = jnp.zeros((n, S), QVALUE_DTYPE)
+    nnz_out = jnp.zeros((), INDEX_DTYPE)
+    trunc_rows = jnp.zeros((), INDEX_DTYPE)
+    for D, row_ids, ent_src in plan.bins:
+        src = jnp.asarray(ent_src)
+        src = jnp.where(src >= 0, src, sent)
+        W = D * S
+        tc = jnp.take(seg_c, src, axis=0).reshape(-1, W)
+        tv = jnp.take(seg_v, src, axis=0).reshape(-1, W)
+        tc, tv = jax.lax.sort((tc, tv), dimension=1, num_keys=1)
+        csum = jnp.cumsum(tv, axis=1)
+        nxt = jnp.concatenate(
+            [tc[:, 1:], jnp.full((tc.shape[0], 1), n, INDEX_DTYPE)], axis=1
+        )
+        is_last = (tc != nxt) & (tc < n)
+        key2 = jnp.where(is_last, tc, n)
+        key2, csum2 = jax.lax.sort((key2, csum), dimension=1, num_keys=1)
+        prev = jnp.concatenate(
+            [jnp.zeros((key2.shape[0], 1), QVALUE_DTYPE), csum2[:, :-1]],
+            axis=1,
+        )
+        uval = jnp.where(key2 < n, csum2 - prev, 0.0)
+        sc, sw, truncated = _prune_select_lanes(key2, uval, n, S)
+        rid = jnp.asarray(row_ids)
+        new_cols = new_cols.at[rid].set(sc, mode="drop")
+        new_vals = new_vals.at[rid].set(sw, mode="drop")
+        nnz_out = nnz_out + jnp.sum(sc < n)
+        trunc_rows = trunc_rows + jnp.sum(truncated)
+
+    if plan.huge_rows.size:
+        # hub rows: dense MXU matmul against the densified iterate
+        mt_dense = jnp.zeros((n, n), QVALUE_DTYPE)
+        rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (n, S), 0)
+        mt_dense = mt_dense.at[rix, mt_cols].add(mt_vals, mode="drop")
+        c_h = jnp.dot(
+            a_dense_huge, mt_dense, preferred_element_type=jnp.float32
+        )
+        lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, c_h.shape, 1)
+        key = jnp.where(c_h != 0, lanes, n)
+        sc, sw, truncated = _prune_select_lanes(key, c_h, n, S)
+        hrid = jnp.asarray(plan.huge_rows)
+        new_cols = new_cols.at[hrid].set(sc, mode="drop")
+        new_vals = new_vals.at[hrid].set(sw, mode="drop")
+        nnz_out = nnz_out + jnp.sum(sc < n)
+        trunc_rows = trunc_rows + jnp.sum(truncated)
+
+    # convergence drift ||new - old||_F / ||old||_F on merged ELL rows
+    mc = jnp.concatenate([mt_cols, new_cols], axis=1)
+    mv = jnp.concatenate([-mt_vals, new_vals], axis=1)
+    mc, mv = jax.lax.sort((mc, mv), dimension=1, num_keys=1)
+    nxt = jnp.concatenate(
+        [mc[:, 1:], jnp.full((n, 1), n, INDEX_DTYPE)], axis=1
+    )
+    csum = jnp.cumsum(mv, axis=1)
+    last = (mc != nxt) & (mc < n)
+    # compaction sort makes run ends adjacent so csum differences are run
+    # totals (same trick as the ELL-ESC dedup)
+    key = jnp.where(last, mc, n)
+    key, csum = jax.lax.sort((key, csum), dimension=1, num_keys=1)
+    prev = jnp.concatenate(
+        [jnp.zeros((n, 1), QVALUE_DTYPE), csum[:, :-1]], axis=1
+    )
+    runs = jnp.where(key < n, csum - prev, 0.0)
+    d2 = jnp.sum(runs * runs)
+    n2 = jnp.sum(mt_vals * mt_vals)
+    differs = jnp.sqrt(d2) / jnp.maximum(jnp.sqrt(n2), 1e-30)
+
+    stats = {"nnz": nnz_out, "truncated_rows": trunc_rows, "differs": differs}
+    return new_cols, new_vals, stats
+
+
+def _dense_huge(mgt: CSR, plan: RmclEllPlan):
+    if not plan.huge_rows.size:
+        return jnp.zeros((0, plan.n), QVALUE_DTYPE)
+    rows_rep = jnp.asarray(
+        np.repeat(
+            np.arange(plan.huge_rows.size, dtype=np.int32), plan.huge_lens
+        )
+    )
+    src = jnp.asarray(plan.huge_src)
+    a_d = jnp.zeros((plan.huge_rows.size, plan.n), QVALUE_DTYPE)
+    return a_d.at[
+        rows_rep, jnp.clip(jnp.take(mgt.col_ind, src), 0, plan.n - 1)
+    ].add(jnp.take(mgt.values, src))
+
+
+@partial(jax.jit, static_argnames=("plan", "max_iters"))
+def rmcl_ell_scan(plan, a: CSR, a_dense_huge, mt_cols, mt_vals, max_iters: int):
+    """Device-resident loop: lax.scan over the fused static step."""
+
+    def step(carry, _):
+        cols, vals = carry
+        nc, nv, stats = rmcl_ell_step(plan, a, a_dense_huge, cols, vals)
+        return (nc, nv), stats
+
+    (cols, vals), hist = jax.lax.scan(
+        step, (mt_cols, mt_vals), None, length=max_iters
+    )
+    return cols, vals, hist
+
+
+def rmcl_ell(
+    graph,
+    max_iters: int = 5,
+    S: int = 128,
+    max_tile: int = 8192,
+):
+    """End-to-end static fused R-MCL (the fast path of models.rmcl.rmcl).
+
+    ``graph``: COO (raw) or CSR (initialised via rmcl_init).  Returns
+    (final CSR, stats history dict of arrays).
+    """
+    from .rmcl import rmcl_init
+    from ..formats.coo import COO
+
+    mt0 = rmcl_init(graph) if isinstance(graph, COO) else graph
+    plan = plan_rmcl_ell(mt0, S=S, max_tile=max_tile)
+    cols, vals = mt_to_ell(mt0, S)
+    a_d = _dense_huge(mt0, plan)
+    cols, vals, hist = rmcl_ell_scan(plan, mt0, a_d, cols, vals, max_iters)
+    out = ell_to_csr(cols, vals, mt0.ncols)
+    return out, {k: np.asarray(v) for k, v in hist.items()}
