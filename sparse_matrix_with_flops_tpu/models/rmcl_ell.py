@@ -152,6 +152,24 @@ def _prune_select_lanes(key, uval, n, S):
     return sc.astype(INDEX_DTYPE), sw.astype(QVALUE_DTYPE), truncated
 
 
+def _dedup_tile(tc, tv, n: int):
+    """Sort + duplicate-sum + compact one [R, W] product tile (the ESC
+    core shared by the single-chip and sharded steps)."""
+    tc, tv = jax.lax.sort((tc, tv), dimension=1, num_keys=1)
+    csum = jnp.cumsum(tv, axis=1)
+    nxt = jnp.concatenate(
+        [tc[:, 1:], jnp.full((tc.shape[0], 1), n, INDEX_DTYPE)], axis=1
+    )
+    is_last = (tc != nxt) & (tc < n)
+    key2 = jnp.where(is_last, tc, n)
+    key2, csum2 = jax.lax.sort((key2, csum), dimension=1, num_keys=1)
+    prev = jnp.concatenate(
+        [jnp.zeros((key2.shape[0], 1), QVALUE_DTYPE), csum2[:, :-1]], axis=1
+    )
+    uval = jnp.where(key2 < n, csum2 - prev, 0.0)
+    return key2, uval
+
+
 @partial(jax.jit, static_argnames=("plan",))
 def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
     """One fused iteration on the ELL iterate.  ``a_dense_huge`` is the
@@ -181,19 +199,7 @@ def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
         W = D * S
         tc = jnp.take(seg_c, src, axis=0).reshape(-1, W)
         tv = jnp.take(seg_v, src, axis=0).reshape(-1, W)
-        tc, tv = jax.lax.sort((tc, tv), dimension=1, num_keys=1)
-        csum = jnp.cumsum(tv, axis=1)
-        nxt = jnp.concatenate(
-            [tc[:, 1:], jnp.full((tc.shape[0], 1), n, INDEX_DTYPE)], axis=1
-        )
-        is_last = (tc != nxt) & (tc < n)
-        key2 = jnp.where(is_last, tc, n)
-        key2, csum2 = jax.lax.sort((key2, csum), dimension=1, num_keys=1)
-        prev = jnp.concatenate(
-            [jnp.zeros((key2.shape[0], 1), QVALUE_DTYPE), csum2[:, :-1]],
-            axis=1,
-        )
-        uval = jnp.where(key2 < n, csum2 - prev, 0.0)
+        key2, uval = _dedup_tile(tc, tv, n)
         sc, sw, truncated = _prune_select_lanes(key2, uval, n, S)
         rid = jnp.asarray(row_ids)
         new_cols = new_cols.at[rid].set(sc, mode="drop")
