@@ -7,5 +7,6 @@ from .dense import DenseMatrix
 from .ell import ELL
 from .mcsr import MCSR
 from .pcsr import PCSR
+from .tiled import TiledCSR
 
-__all__ = ["BCSR", "COO", "CSR", "DenseMatrix", "ELL", "MCSR", "PCSR"]
+__all__ = ["BCSR", "COO", "CSR", "DenseMatrix", "ELL", "MCSR", "PCSR", "TiledCSR"]

@@ -1,0 +1,125 @@
+"""TiledCSR: the framework's native device-resident sparse result format.
+
+The ELL-ESC pipeline produces each row's entries compacted at the front of
+a per-row slice of one flat packed region.  That IS a complete sparse
+matrix — (flat_base, counts) index it exactly like (row_ptr) indexes a CSR
+— so instead of paying an element-granularity assembly gather after every
+multiply (the dominant cost at nnz(C) scale), downstream ops consume the
+tiles directly:
+
+* it satisfies the ``BView`` protocol (ops/spgemm.py), so a TiledCSR can
+  be the B operand of another SpGEMM without conversion;
+* SpMV/row reductions read rows by slicing the packed region;
+* `to_csr()` performs the one-gather flat export for interop/IO.
+
+Precedent: the reference GPU pipeline also stops before final CSR
+assembly (mindex2-cuda/kernel.cu:402-426 is left commented out) — its
+"result" is the sorted-deduped segment stream.  TiledCSR makes that
+intermediate a supported, tested format instead of an accident.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import INDEX_DTYPE, QVALUE_DTYPE
+from .csr import CSR
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("packed", "counts", "flat_base"),
+    meta_fields=("ncols",),
+)
+@dataclasses.dataclass(frozen=True)
+class TiledCSR:
+    packed: jax.Array  # int32[T, 2]: (col, f32-bits) pairs; sentinel col=ncols
+    counts: jax.Array  # int32[rows]
+    flat_base: jax.Array  # int32[rows]: first entry of each row in packed
+    ncols: int
+
+    @property
+    def rows(self) -> int:
+        return self.counts.shape[0]
+
+    @property
+    def shape(self):
+        return (self.rows, self.ncols)
+
+    @property
+    def nnz(self) -> jax.Array:
+        return jnp.sum(self.counts)
+
+    def row_ptr(self) -> jax.Array:
+        z = jnp.zeros((1,), INDEX_DTYPE)
+        return jnp.concatenate([z, jnp.cumsum(self.counts)]).astype(INDEX_DTYPE)
+
+    # ---- BView protocol (ops/spgemm.py) ----------------------------------
+    def as_bview(self):
+        from ..ops.spgemm import BView
+
+        return BView(
+            col=self.packed[:, 0],
+            val=jax.lax.bitcast_convert_type(self.packed[:, 1], jnp.float32),
+            row_start=self.flat_base,
+            row_count=self.counts,
+            ncols=self.ncols,
+        )
+
+    # ---- ops -------------------------------------------------------------
+    def spmv(self, x: jax.Array) -> jax.Array:
+        """y = A·x without leaving tile form (gather at nnz scale on the
+        packed region, grouped in pairs)."""
+        t = self.packed.shape[0]
+        cols = self.packed[:, 0]
+        vals = jax.lax.bitcast_convert_type(self.packed[:, 1], jnp.float32)
+        valid = cols < self.ncols
+        prod = jnp.where(valid, vals * jnp.take(x, jnp.clip(cols, 0, self.ncols - 1)), 0.0)
+        # owner row of each packed slot: regions are disjoint but NOT in
+        # row order, so use the interval-delta trick: +1*(row+1) at each
+        # region start, -1*(row+1) at its end; the cumsum is row+1 inside a
+        # region and 0 in inter-region padding gaps.
+        ok = self.counts > 0
+        rid1 = jnp.where(ok, jnp.arange(self.rows, dtype=INDEX_DTYPE) + 1, 0)
+        delta = jnp.zeros((t + 1,), INDEX_DTYPE)
+        delta = delta.at[jnp.where(ok, self.flat_base, t + 0)].add(
+            rid1, mode="drop"
+        )
+        delta = delta.at[
+            jnp.where(ok, self.flat_base + self.counts, t)
+        ].add(-rid1, mode="drop")
+        seg = jnp.cumsum(delta[:t]) - 1
+        y = jnp.zeros((self.rows + 1,), QVALUE_DTYPE)
+        y = y.at[jnp.clip(seg, 0, self.rows)].add(prod, mode="drop")
+        return y[: self.rows]
+
+    def to_csr(self, out_cap: int | None = None, exact: bool = True) -> CSR:
+        """Flat CSR export (the one element-gather)."""
+        from ..ops.ell_esc import _flat_assemble
+
+        return _flat_assemble(
+            self.packed, self.counts, self.flat_base, self.ncols, out_cap, exact
+        )
+
+    def to_host_csr(self) -> CSR:
+        """Host-side export without the device gather (numpy stitch)."""
+        packed = np.asarray(self.packed)
+        counts = np.asarray(self.counts, dtype=np.int64)
+        base = np.asarray(self.flat_base, dtype=np.int64)
+        rp = np.zeros(self.rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=rp[1:])
+        nnz = int(rp[-1])
+        col = np.empty(max(nnz, 1), np.int32)
+        val = np.empty(max(nnz, 1), np.float32)
+        for i in range(self.rows):
+            c = int(counts[i])
+            if c:
+                seg = packed[base[i] : base[i] + c]
+                col[rp[i] : rp[i] + c] = seg[:, 0]
+                val[rp[i] : rp[i] + c] = seg[:, 1].view(np.float32)
+        return CSR.from_arrays(rp.astype(np.int32), col, val, self.ncols)

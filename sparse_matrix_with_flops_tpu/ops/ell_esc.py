@@ -428,10 +428,10 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
     return packed, counts, flat_base
 
 
-@partial(jax.jit, static_argnames=("plan", "out_cap"))
-def _assemble_impl(packed, counts, flat_base, plan: EllPlan, out_cap: int):
-    """Phase 2: counts -> row_ptr; one pair-gather builds the flat CSR."""
-    m, ncols = plan.rows, plan.ncols
+@partial(jax.jit, static_argnames=("ncols", "out_cap"))
+def _assemble_jit(packed, counts, flat_base, ncols: int, out_cap: int):
+    """counts -> row_ptr; one pair-gather builds the flat CSR."""
+    m = counts.shape[0]
     out_rp = exclusive_cumsum(counts).astype(INDEX_DTYPE)
     q = jnp.arange(out_cap, dtype=INDEX_DTYPE)
     total = out_rp[-1]
@@ -453,6 +453,33 @@ def _assemble_impl(packed, counts, flat_base, plan: EllPlan, out_cap: int):
     return CSR(jnp.minimum(out_rp, out_cap), ccol, cval, ncols)
 
 
+def _flat_assemble(
+    packed, counts, flat_base, ncols: int, out_cap: int | None, exact: bool
+) -> CSR:
+    """Shared flat-CSR export (also used by formats.tiled.TiledCSR)."""
+    if out_cap is None:
+        if exact:
+            nnzc = int(jnp.sum(counts))
+            # geometric 1.25x buckets bound both recompiles and overshoot
+            out_cap = 1024
+            while out_cap < nnzc:
+                out_cap = int(out_cap * 1.25 + 1023) & ~1023
+        else:
+            out_cap = int(counts.shape[0]) * ncols
+    return _assemble_jit(packed, counts, flat_base, ncols, int(out_cap))
+
+
+def spgemm_ell_tiled(a: CSR, b: CSR, plan: EllPlan | None = None):
+    """C = A·B returned in the framework's native TiledCSR form (no
+    element-granularity assembly — the fast path for chained ops)."""
+    from ..formats.tiled import TiledCSR
+
+    if plan is None:
+        plan = plan_ell(a, b)
+    packed, counts, flat_base = _tiles_impl(a, b, plan, CHUNK)
+    return TiledCSR(packed, counts, flat_base, plan.ncols)
+
+
 def spgemm_ell(
     a: CSR,
     b: CSR,
@@ -470,16 +497,9 @@ def spgemm_ell(
     if plan is None:
         plan = plan_ell(a, b)
     packed, counts, flat_base = _tiles_impl(a, b, plan, CHUNK)
-    if out_cap is None:
-        if exact:
-            nnzc = int(jnp.sum(counts))
-            # geometric 1.25x buckets bound both recompiles and overshoot
-            out_cap = 1024
-            while out_cap < nnzc:
-                out_cap = int(out_cap * 1.25 + 1023) & ~1023
-        else:
-            out_cap = plan.out_cap
-    return _assemble_impl(packed, counts, flat_base, plan, int(out_cap))
+    if out_cap is None and not exact:
+        out_cap = plan.out_cap
+    return _flat_assemble(packed, counts, flat_base, plan.ncols, out_cap, exact)
 
 
 def spgemm_ell_symbolic(a: CSR, b: CSR, plan: EllPlan | None = None):
@@ -495,4 +515,4 @@ def spgemm_ell_symbolic(a: CSR, b: CSR, plan: EllPlan | None = None):
 # expose the one-shot impl for tests that pin chunk/max_w
 def _spgemm_ell_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int) -> CSR:
     packed, counts, flat_base = _tiles_impl(a, b, plan, chunk)
-    return _assemble_impl(packed, counts, flat_base, plan, plan.out_cap)
+    return _assemble_jit(packed, counts, flat_base, plan.ncols, plan.out_cap)

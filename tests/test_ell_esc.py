@@ -111,3 +111,48 @@ def test_ell_esc_quantized_shapes_repeat(rng):
     s1 = [(w, r.shape, t.shape) for w, r, t in p1.bins]
     s2 = [(w, r.shape, t.shape) for w, r, t in p2.bins]
     assert s1 == s2
+
+
+def test_tiled_output_roundtrip_and_ops(rng):
+    from sparse_matrix_with_flops_tpu.ops.ell_esc import spgemm_ell_tiled
+    from sparse_matrix_with_flops_tpu.ops.spgemm import (
+        esc_expand_view,
+        matmul,
+        spgemm_upper_bounds,
+    )
+    import jax.numpy as jnp
+
+    a = _random_csr(rng, 32, 32, 0.2)
+    t = spgemm_ell_tiled(a, a)
+    want = matmul(a, a).make_ordered()
+    # flat export matches
+    got = t.to_csr()
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-4
+        )
+    )
+    # host export matches
+    got_h = t.to_host_csr()
+    assert bool(
+        got_h._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-4
+        )
+    )
+    # spmv straight from tile form
+    x = rng.standard_normal(32).astype(np.float32)
+    yw = np.asarray(want.to_dense()) @ x
+    np.testing.assert_allclose(
+        np.asarray(t.spmv(jnp.asarray(x))), yw, rtol=1e-3, atol=1e-4
+    )
+    # TiledCSR as the B operand of a chained stream SpGEMM (BView protocol)
+    from sparse_matrix_with_flops_tpu.ops.spgemm import esc_sort
+    from sparse_matrix_with_flops_tpu.config import INDEX_DTYPE, QVALUE_DTYPE
+
+    bv = t.as_bview()
+    cap = 32768
+    prow, pcol, pval, _ = esc_expand_view(a, bv, cap)
+    prow, pcol, pval, pvalid, flags, seg, nnzc = esc_sort(prow, pcol, pval, a.rows)
+    # oracle: A * (A*A)
+    want2 = matmul(a, want).make_ordered()
+    assert int(nnzc) == int(want2.nnz)
