@@ -31,6 +31,11 @@ def run_one(name, a, kernel: str):
     elif kernel == "binned":
         plan = plan_bins(a, a)
         fn = lambda x: spgemm_binned(x, x, plan)
+    elif kernel == "ell-tiled":
+        from ..ops.ell_esc import spgemm_ell_tiled
+
+        plan = plan_ell(a, a)
+        fn = lambda x: spgemm_ell_tiled(x, x, plan)
     else:
         plan = plan_ell(a, a)
         fn = lambda x: spgemm_ell(x, x, plan)
@@ -56,7 +61,7 @@ def main(argv=None) -> int:
     )
     p.add_argument("--scales", default="10,12,14")
     p.add_argument("--banded", action="store_true", help="include the banded FEM-like case")
-    p.add_argument("--kernel", default="ell", choices=["esc", "binned", "ell"])
+    p.add_argument("--kernel", default="ell", choices=["esc", "binned", "ell", "ell-tiled"])
     p.add_argument("--out", default=None, help="append JSON lines here")
     args = p.parse_args(argv)
 

@@ -23,7 +23,9 @@ from .args import build_parser
 def main(argv=None) -> int:
     p = build_parser("timed SpGEMM / R-MCL (perfTests parity)")
     p.add_argument(
-        "--kernel", default="esc", choices=["esc", "binned", "rmcl"]
+        "--kernel",
+        default="ell",
+        choices=["esc", "binned", "ell", "ell-tiled", "rmcl", "rmcl-static"],
     )
     p.add_argument("--iters", type=int, default=5)
     args = p.parse_args(argv)
@@ -33,16 +35,23 @@ def main(argv=None) -> int:
     product_cap, out_cap = spgemm_upper_bounds(a, a)
     flops2 = 2.0 * product_cap
 
-    if args.kernel == "rmcl":
+    if args.kernel in ("rmcl", "rmcl-static"):
         coo2 = load_coo(args.input, is_trans=True, extra_capacity=a.rows + 1)
         mt0 = rmcl_init(coo2)
         t0 = time_in_mill_now()
-        res = rmcl(mt0, max_iters=args.maxIters, mode="scan")
+        if args.kernel == "rmcl-static":
+            from ..models.rmcl_ell import rmcl_ell
+
+            out, hist = rmcl_ell(mt0, max_iters=args.maxIters)
+            nnz_final = int(hist["nnz"][-1])
+        else:
+            res = rmcl(mt0, max_iters=args.maxIters, mode="scan")
+            nnz_final = int(res.nnz_history[-1])
         t1 = time_in_mill_now()
         per_iter = (t1 - t0) / max(args.maxIters, 1)
         print(
-            f"rmcl: {args.maxIters} iters, {t1 - t0:.3f} ms total, "
-            f"{per_iter:.3f} ms/iter, final nnz {int(res.nnz_history[-1])}"
+            f"{args.kernel}: {args.maxIters} iters, {t1 - t0:.3f} ms total, "
+            f"{per_iter:.3f} ms/iter, final nnz {nnz_final}"
         )
         return 0
 
@@ -50,6 +59,14 @@ def main(argv=None) -> int:
     if args.kernel == "binned":
         plan = plan_bins(a, a)
         fn = lambda x: spgemm_binned(x, x, plan)
+    elif args.kernel in ("ell", "ell-tiled"):
+        from ..ops.ell_esc import plan_ell, spgemm_ell, spgemm_ell_tiled
+
+        eplan = plan_ell(a, a)
+        if args.kernel == "ell":
+            fn = lambda x: spgemm_ell(x, x, eplan)
+        else:
+            fn = lambda x: spgemm_ell_tiled(x, x, eplan)
     else:
         fn = lambda x: spgemm(x, x, product_cap, out_cap)
     ms = bench_fn(fn, da, warmup=1, iters=args.iters)

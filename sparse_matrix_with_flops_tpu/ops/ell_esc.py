@@ -430,27 +430,101 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
 
 @partial(jax.jit, static_argnames=("ncols", "out_cap"))
 def _assemble_jit(packed, counts, flat_base, ncols: int, out_cap: int):
-    """counts -> row_ptr; one pair-gather builds the flat CSR."""
+    """counts -> row_ptr; windowed gathers build the flat CSR.
+
+    Row gathers are descriptor-bound (probe: width 8-64 all ~36ms/2M
+    descriptors), so the export gathers 8-PAIR windows (out_cap/8
+    descriptors) assuming source continuity, then repairs the ≤7 leading
+    slots of every row (whose window crossed a row boundary) with one
+    m-scale gather+scatter.  The per-slot source index comes from a
+    scatter + cumsum (interval deltas), not a gather."""
     m = counts.shape[0]
+    WQ = 8  # output window (pairs)
     out_rp = exclusive_cumsum(counts).astype(INDEX_DTYPE)
-    q = jnp.arange(out_cap, dtype=INDEX_DTYPE)
+    ocap = -(-out_cap // WQ) * WQ
+    q = jnp.arange(ocap, dtype=INDEX_DTYPE)
     total = out_rp[-1]
     qvalid = q < total
     nonempty = counts > 0
     starts = out_rp[:-1]
 
-    # slot -> row (scatter-at-start + cummax; row ids are monotone)
-    row = repeat_segments(starts, nonempty, out_cap)
-    safe_row = jnp.clip(row, 0, m - 1)
-    # flat index = q + (flat_base - start)[row]: one small delta gather
-    delta = flat_base - starts
-    idx = q + jnp.take(delta, safe_row)
-    g = jnp.take(packed, jnp.where(qvalid, idx, 0), axis=0)
-    ccol = jnp.where(qvalid, g[:, 0], ncols).astype(INDEX_DTYPE)
+    # source pair-index per slot: idx = q + d[row(q)], with d[row] spread
+    # via interval-delta scatter + cumsum (no gathers).
+    d = jnp.where(nonempty, flat_base - starts, 0)
+    # fill-forward d over rows so consecutive nonempty rows difference out
+    def ff(a, b):
+        av, ak = a
+        bv, bk = b
+        return (jnp.where(bk, bv, av), ak | bk)
+
+    filled, _ = jax.lax.associative_scan(
+        ff, (d, nonempty), axis=0
+    )
+    prevd = jnp.concatenate([jnp.zeros((1,), d.dtype), filled[:-1]])
+    dd = jnp.zeros((ocap,), INDEX_DTYPE)
+    dd = dd.at[jnp.where(nonempty, starts, ocap)].add(
+        jnp.where(nonempty, d - prevd, 0), mode="drop"
+    )
+    idx = q + jnp.cumsum(dd)
+
+    # windowed gather: source window rows of 4 pairs (8 int32); each out
+    # window of 8 pairs needs 3 consecutive source rows worst-case — use
+    # aligned 16-pair loads: rows (p//4) and (p//4 + 1..2) of [T/4, 8]
+    flat = packed.reshape(-1)  # [2T] int32, pair i at (2i, 2i+1)
+    tpad = -(-flat.shape[0] // 8) * 8 + 32
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((tpad - flat.shape[0],), jnp.int32)]
+    )
+    src4 = flat.reshape(-1, 8)  # rows of 4 pairs
+    p0 = idx[::WQ]  # first source pair of each out window
+    wr = jnp.clip(p0 // 4, 0, src4.shape[0] - 3)
+    g = jnp.concatenate(
+        [
+            jnp.take(src4, wr, axis=0),
+            jnp.take(src4, wr + 1, axis=0),
+            jnp.take(src4, wr + 2, axis=0),
+        ],
+        axis=1,
+    )  # [Q, 24] int32 = 12 pairs
+    off = (p0 - wr * 4)[:, None]  # pairs 0..3 offset into the window
+    lane_pair = jax.lax.broadcasted_iota(INDEX_DTYPE, (p0.shape[0], WQ), 1)
+    sel = off + lane_pair  # which of the 12 window pairs
+    # static select over the 4 possible offsets
+    def pick(o):
+        base = 2 * o
+        cols_o = g[:, base : base + 2 * WQ : 2]
+        vals_o = g[:, base + 1 : base + 1 + 2 * WQ : 2]
+        return cols_o, vals_o
+
+    ccol_w = jnp.zeros((p0.shape[0], WQ), jnp.int32)
+    cbit_w = jnp.zeros((p0.shape[0], WQ), jnp.int32)
+    for o in range(4):
+        co, vo = pick(o)
+        is_o = off[:, 0:1] == o
+        ccol_w = jnp.where(is_o, co, ccol_w)
+        cbit_w = jnp.where(is_o, vo, cbit_w)
+    ccol = ccol_w.reshape(-1)
+    cbit = cbit_w.reshape(-1)
+
+    # repair the first WQ-1 slots of every row (window continuity breaks
+    # at row boundaries): m-scale gather + scatter
+    k = jnp.arange(WQ - 1, dtype=INDEX_DTYPE)[None, :]
+    fsrc = jnp.clip(flat_base[:, None] + k, 0, packed.shape[0] - 1)
+    # gather from the flat view (indexing the [T,2] array makes XLA copy it
+    # into a 128-lane-padded layout -> 64x memory at large T)
+    fix_c = jnp.take(flat, (2 * fsrc).reshape(-1))
+    fix_v = jnp.take(flat, (2 * fsrc + 1).reshape(-1))
+    tgt = starts[:, None] + k
+    okf = nonempty[:, None] & (k < counts[:, None])
+    tgt = jnp.where(okf, tgt, ocap)
+    ccol = ccol.at[tgt.reshape(-1)].set(fix_c, mode="drop")
+    cbit = cbit.at[tgt.reshape(-1)].set(fix_v, mode="drop")
+
+    ccol = jnp.where(qvalid, ccol, ncols).astype(INDEX_DTYPE)
     cval = jnp.where(
-        qvalid, jax.lax.bitcast_convert_type(g[:, 1], jnp.float32), 0.0
+        qvalid, jax.lax.bitcast_convert_type(cbit, jnp.float32), 0.0
     ).astype(QVALUE_DTYPE)
-    return CSR(jnp.minimum(out_rp, out_cap), ccol, cval, ncols)
+    return CSR(jnp.minimum(out_rp, ocap), ccol, cval, ncols)
 
 
 def _flat_assemble(

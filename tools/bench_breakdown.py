@@ -39,7 +39,7 @@ def main():
             out_cap = int(out_cap * 1.25 + 1023) & ~1023
         t0 = time.monotonic()
         ms_a = bench_fn(
-            lambda p, c, f: E._assemble_impl(p, c, f, plan, out_cap),
+            lambda p, c, f: E._assemble_jit(p, c, f, plan.ncols, out_cap),
             packed,
             counts,
             flat_base,
