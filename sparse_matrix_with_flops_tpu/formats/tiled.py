@@ -1,16 +1,19 @@
 """TiledCSR: the framework's native device-resident sparse result format.
 
 The ELL-ESC pipeline produces each row's entries compacted at the front of
-a per-row slice of one flat packed region.  That IS a complete sparse
-matrix — (flat_base, counts) index it exactly like (row_ptr) indexes a CSR
-— so instead of paying an element-granularity assembly gather after every
+a per-row slice of one flat region.  That IS a complete sparse matrix —
+(flat_base, counts) index it exactly like row_ptr indexes a CSR — so
+instead of paying an element-granularity assembly gather after every
 multiply (the dominant cost at nnz(C) scale), downstream ops consume the
-tiles directly:
+flat region directly:
 
 * it satisfies the ``BView`` protocol (ops/spgemm.py), so a TiledCSR can
   be the B operand of another SpGEMM without conversion;
-* SpMV/row reductions read rows by slicing the packed region;
-* `to_csr()` performs the one-gather flat export for interop/IO.
+* SpMV/row reductions read rows by slicing the flat region;
+* `to_csr()` performs the windowed-gather flat export for interop/IO.
+
+Storage is PLANAR (separate col/val arrays): interleaved [T, 2] pair
+arrays make XLA copy them into a 128-lane-padded layout (64x memory).
 
 Precedent: the reference GPU pipeline also stops before final CSR
 assembly (mindex2-cuda/kernel.cu:402-426 is left commented out) — its
@@ -33,14 +36,15 @@ from .csr import CSR
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("packed", "counts", "flat_base"),
+    data_fields=("flat_col", "flat_val", "counts", "flat_base"),
     meta_fields=("ncols",),
 )
 @dataclasses.dataclass(frozen=True)
 class TiledCSR:
-    packed: jax.Array  # int32[T, 2]: (col, f32-bits) pairs; sentinel col=ncols
+    flat_col: jax.Array  # int32[T]; sentinel col = ncols outside rows
+    flat_val: jax.Array  # f32[T]
     counts: jax.Array  # int32[rows]
-    flat_base: jax.Array  # int32[rows]: first entry of each row in packed
+    flat_base: jax.Array  # int32[rows]: first entry of each row
     ncols: int
 
     @property
@@ -64,8 +68,8 @@ class TiledCSR:
         from ..ops.spgemm import BView
 
         return BView(
-            col=self.packed[:, 0],
-            val=jax.lax.bitcast_convert_type(self.packed[:, 1], jnp.float32),
+            col=self.flat_col,
+            val=self.flat_val,
             row_start=self.flat_base,
             row_count=self.counts,
             ncols=self.ncols,
@@ -73,21 +77,22 @@ class TiledCSR:
 
     # ---- ops -------------------------------------------------------------
     def spmv(self, x: jax.Array) -> jax.Array:
-        """y = A·x without leaving tile form (gather at nnz scale on the
-        packed region, grouped in pairs)."""
-        t = self.packed.shape[0]
-        cols = self.packed[:, 0]
-        vals = jax.lax.bitcast_convert_type(self.packed[:, 1], jnp.float32)
+        """y = A·x without leaving tile form."""
+        t = self.flat_col.shape[0]
+        cols = self.flat_col
+        vals = self.flat_val
         valid = cols < self.ncols
-        prod = jnp.where(valid, vals * jnp.take(x, jnp.clip(cols, 0, self.ncols - 1)), 0.0)
-        # owner row of each packed slot: regions are disjoint but NOT in
-        # row order, so use the interval-delta trick: +1*(row+1) at each
-        # region start, -1*(row+1) at its end; the cumsum is row+1 inside a
-        # region and 0 in inter-region padding gaps.
+        prod = jnp.where(
+            valid, vals * jnp.take(x, jnp.clip(cols, 0, self.ncols - 1)), 0.0
+        )
+        # owner row of each slot: regions are disjoint but NOT in row
+        # order, so use the interval-delta trick: +(row+1) at each region
+        # start, -(row+1) at its end; the cumsum is row+1 inside a region
+        # and 0 in inter-region padding gaps.
         ok = self.counts > 0
         rid1 = jnp.where(ok, jnp.arange(self.rows, dtype=INDEX_DTYPE) + 1, 0)
         delta = jnp.zeros((t + 1,), INDEX_DTYPE)
-        delta = delta.at[jnp.where(ok, self.flat_base, t + 0)].add(
+        delta = delta.at[jnp.where(ok, self.flat_base, t)].add(
             rid1, mode="drop"
         )
         delta = delta.at[
@@ -95,20 +100,29 @@ class TiledCSR:
         ].add(-rid1, mode="drop")
         seg = jnp.cumsum(delta[:t]) - 1
         y = jnp.zeros((self.rows + 1,), QVALUE_DTYPE)
-        y = y.at[jnp.clip(seg, 0, self.rows)].add(prod, mode="drop")
+        y = y.at[jnp.clip(seg, 0, self.rows)].add(
+            jnp.where(seg >= 0, prod, 0.0), mode="drop"
+        )
         return y[: self.rows]
 
     def to_csr(self, out_cap: int | None = None, exact: bool = True) -> CSR:
-        """Flat CSR export (the one element-gather)."""
+        """Flat CSR export (the windowed gather)."""
         from ..ops.ell_esc import _flat_assemble
 
         return _flat_assemble(
-            self.packed, self.counts, self.flat_base, self.ncols, out_cap, exact
+            self.flat_col,
+            self.flat_val,
+            self.counts,
+            self.flat_base,
+            self.ncols,
+            out_cap,
+            exact,
         )
 
     def to_host_csr(self) -> CSR:
         """Host-side export without the device gather (numpy stitch)."""
-        packed = np.asarray(self.packed)
+        cols = np.asarray(self.flat_col)
+        vals = np.asarray(self.flat_val)
         counts = np.asarray(self.counts, dtype=np.int64)
         base = np.asarray(self.flat_base, dtype=np.int64)
         rp = np.zeros(self.rows + 1, dtype=np.int64)
@@ -119,7 +133,6 @@ class TiledCSR:
         for i in range(self.rows):
             c = int(counts[i])
             if c:
-                seg = packed[base[i] : base[i] + c]
-                col[rp[i] : rp[i] + c] = seg[:, 0]
-                val[rp[i] : rp[i] + c] = seg[:, 1].view(np.float32)
+                col[rp[i] : rp[i] + c] = cols[base[i] : base[i] + c]
+                val[rp[i] : rp[i] + c] = vals[base[i] : base[i] + c]
         return CSR.from_arrays(rp.astype(np.int32), col, val, self.ncols)

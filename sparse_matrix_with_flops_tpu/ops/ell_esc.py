@@ -291,11 +291,11 @@ def _flat_layout(plan: EllPlan):
     return lay
 
 
-@partial(jax.jit, static_argnames=("plan", "chunk"))
-def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
+@partial(jax.jit, static_argnames=("plan", "chunk", "use_pallas"))
+def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int, use_pallas: bool = False):
     """Phase 1: expansion + per-bin sort/dedup/compaction.
 
-    Returns (packed [flat_total, 2] int32 (col, val-bits), counts [m],
+    Returns (flat cols [T] int32, flat vals [T] f32, counts [m],
     flat_base [m] incl. huge rows).
     """
     m, ncols = plan.rows, plan.ncols
@@ -343,32 +343,46 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
 
     # 3-4. per-bin row tiles: gather chunks, sort, dedup, compact
     counts = jnp.zeros((m,), INDEX_DTYPE)
-    packed_parts = []
+    cols_parts, vals_parts = [], []
     for bi, (W, row_ids, tile_src) in enumerate(plan.bins):
         src = jnp.asarray(tile_src)
         tc = jnp.take(prod_c, src, axis=0).reshape(-1, W)  # row gather
         tv = jnp.take(prod_v, src, axis=0).reshape(-1, W)
-        tc, tv = jax.lax.sort((tc, tv), dimension=1, num_keys=1)
-        csum = jnp.cumsum(tv, axis=1)
-        nxt = jnp.concatenate(
-            [tc[:, 1:], jnp.full((tc.shape[0], 1), ncols, INDEX_DTYPE)], axis=1
-        )
-        is_last = (tc != nxt) & (tc < ncols)
-        key2 = jnp.where(is_last, tc, ncols)
-        key2, csum2 = jax.lax.sort((key2, csum), dimension=1, num_keys=1)
-        prev = jnp.concatenate(
-            [jnp.zeros((key2.shape[0], 1), QVALUE_DTYPE), csum2[:, :-1]], axis=1
-        )
-        uval = jnp.where(key2 < ncols, csum2 - prev, 0.0)
+        if use_pallas:
+            from .pallas_sort import sort_dedup_compact
+
+            rpadded = -(-tc.shape[0] // 8) * 8
+            if rpadded != tc.shape[0]:
+                padr = rpadded - tc.shape[0]
+                tc = jnp.concatenate(
+                    [tc, jnp.full((padr, W), ncols, INDEX_DTYPE)], axis=0
+                )
+                tv = jnp.concatenate([tv, jnp.zeros((padr, W))], axis=0)
+            key2, uval = sort_dedup_compact(tc, tv, ncols)
+            key2 = key2[: len(tile_src) // (W // chunk)]
+            uval = uval[: key2.shape[0]]
+        else:
+            tc, tv = jax.lax.sort((tc, tv), dimension=1, num_keys=1)
+            csum = jnp.cumsum(tv, axis=1)
+            nxt = jnp.concatenate(
+                [tc[:, 1:], jnp.full((tc.shape[0], 1), ncols, INDEX_DTYPE)],
+                axis=1,
+            )
+            is_last = (tc != nxt) & (tc < ncols)
+            key2 = jnp.where(is_last, tc, ncols)
+            key2, csum2 = jax.lax.sort((key2, csum), dimension=1, num_keys=1)
+            prev = jnp.concatenate(
+                [jnp.zeros((key2.shape[0], 1), QVALUE_DTYPE), csum2[:, :-1]],
+                axis=1,
+            )
+            uval = jnp.where(key2 < ncols, csum2 - prev, 0.0)
         cnt = jnp.sum(key2 < ncols, axis=1).astype(INDEX_DTYPE)
         rid = jnp.asarray(row_ids)
         counts = counts.at[jnp.where(rid >= 0, rid, m)].set(
             cnt, mode="drop"
         )
-        vbits = jax.lax.bitcast_convert_type(uval, jnp.int32)
-        packed_parts.append(
-            jnp.stack([key2.reshape(-1), vbits.reshape(-1)], axis=-1)
-        )
+        cols_parts.append(key2.reshape(-1))
+        vals_parts.append(uval.reshape(-1))
 
     flat_base = jnp.asarray(lay["flat_base"].astype(np.int32))
     # Heavy rows (flops of order ncols or more) go DENSE on the MXU: the
@@ -416,30 +430,33 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int):
         counts = counts.at[jnp.asarray(plan.huge_rows)].set(
             jnp.sum(key < N, axis=1).astype(INDEX_DTYPE), mode="drop"
         )
-        hbits = jax.lax.bitcast_convert_type(vals, jnp.int32)
-        packed_parts.append(
-            jnp.stack([key.reshape(-1), hbits.reshape(-1)], axis=-1)
-        )
-    packed = (
-        jnp.concatenate(packed_parts, axis=0)
-        if packed_parts
-        else jnp.zeros((1, 2), jnp.int32)
+        cols_parts.append(key.reshape(-1))
+        vals_parts.append(vals.reshape(-1))
+    flat_c = (
+        jnp.concatenate(cols_parts)
+        if cols_parts
+        else jnp.zeros((1,), jnp.int32)
     )
-    return packed, counts, flat_base
+    flat_v = (
+        jnp.concatenate(vals_parts)
+        if vals_parts
+        else jnp.zeros((1,), jnp.float32)
+    )
+    return flat_c, flat_v, counts, flat_base
 
 
 @partial(jax.jit, static_argnames=("ncols", "out_cap"))
-def _assemble_jit(packed, counts, flat_base, ncols: int, out_cap: int):
+def _assemble_jit(flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int):
     """counts -> row_ptr; windowed gathers build the flat CSR.
 
-    Row gathers are descriptor-bound (probe: width 8-64 all ~36ms/2M
-    descriptors), so the export gathers 8-PAIR windows (out_cap/8
-    descriptors) assuming source continuity, then repairs the ≤7 leading
-    slots of every row (whose window crossed a row boundary) with one
-    m-scale gather+scatter.  The per-slot source index comes from a
-    scatter + cumsum (interval deltas), not a gather."""
+    Row gathers are descriptor-bound, so the export gathers 16-element
+    aligned windows per plane (cols, vals stored planar — a [T,2] pair
+    array makes XLA copy it into a 128-lane-padded layout, 64x memory) and
+    repairs the <=15 leading slots of every row (whose window crossed a
+    row boundary) with one m-scale gather+scatter.  The per-slot source
+    index comes from a scatter + cumsum (interval deltas), not a gather."""
     m = counts.shape[0]
-    WQ = 8  # output window (pairs)
+    WQ = 16  # output window (elements)
     out_rp = exclusive_cumsum(counts).astype(INDEX_DTYPE)
     ocap = -(-out_cap // WQ) * WQ
     q = jnp.arange(ocap, dtype=INDEX_DTYPE)
@@ -448,18 +465,16 @@ def _assemble_jit(packed, counts, flat_base, ncols: int, out_cap: int):
     nonempty = counts > 0
     starts = out_rp[:-1]
 
-    # source pair-index per slot: idx = q + d[row(q)], with d[row] spread
-    # via interval-delta scatter + cumsum (no gathers).
+    # source index per slot: idx = q + d[row(q)], with d[row] spread via
+    # interval-delta scatter + cumsum (no gathers).
     d = jnp.where(nonempty, flat_base - starts, 0)
-    # fill-forward d over rows so consecutive nonempty rows difference out
+
     def ff(a, b):
         av, ak = a
         bv, bk = b
         return (jnp.where(bk, bv, av), ak | bk)
 
-    filled, _ = jax.lax.associative_scan(
-        ff, (d, nonempty), axis=0
-    )
+    filled, _ = jax.lax.associative_scan(ff, (d, nonempty), axis=0)
     prevd = jnp.concatenate([jnp.zeros((1,), d.dtype), filled[:-1]])
     dd = jnp.zeros((ocap,), INDEX_DTYPE)
     dd = dd.at[jnp.where(nonempty, starts, ocap)].add(
@@ -467,68 +482,51 @@ def _assemble_jit(packed, counts, flat_base, ncols: int, out_cap: int):
     )
     idx = q + jnp.cumsum(dd)
 
-    # windowed gather: source window rows of 4 pairs (8 int32); each out
-    # window of 8 pairs needs 3 consecutive source rows worst-case — use
-    # aligned 16-pair loads: rows (p//4) and (p//4 + 1..2) of [T/4, 8]
-    flat = packed.reshape(-1)  # [2T] int32, pair i at (2i, 2i+1)
-    tpad = -(-flat.shape[0] // 8) * 8 + 32
-    flat = jnp.concatenate(
-        [flat, jnp.zeros((tpad - flat.shape[0],), jnp.int32)]
+    tpad = -(-flat_c.shape[0] // 16) * 16 + 64
+    fc = jnp.concatenate(
+        [flat_c, jnp.full((tpad - flat_c.shape[0],), ncols, jnp.int32)]
     )
-    src4 = flat.reshape(-1, 8)  # rows of 4 pairs
-    p0 = idx[::WQ]  # first source pair of each out window
-    wr = jnp.clip(p0 // 4, 0, src4.shape[0] - 3)
-    g = jnp.concatenate(
-        [
-            jnp.take(src4, wr, axis=0),
-            jnp.take(src4, wr + 1, axis=0),
-            jnp.take(src4, wr + 2, axis=0),
-        ],
-        axis=1,
-    )  # [Q, 24] int32 = 12 pairs
-    off = (p0 - wr * 4)[:, None]  # pairs 0..3 offset into the window
-    lane_pair = jax.lax.broadcasted_iota(INDEX_DTYPE, (p0.shape[0], WQ), 1)
-    sel = off + lane_pair  # which of the 12 window pairs
-    # static select over the 4 possible offsets
-    def pick(o):
-        base = 2 * o
-        cols_o = g[:, base : base + 2 * WQ : 2]
-        vals_o = g[:, base + 1 : base + 1 + 2 * WQ : 2]
-        return cols_o, vals_o
+    fv = jnp.concatenate(
+        [flat_v, jnp.zeros((tpad - flat_v.shape[0],), jnp.float32)]
+    )
+    src_c = fc.reshape(-1, 16)
+    src_v = fv.reshape(-1, 16)
+    p0 = idx[::WQ]
+    wr = jnp.clip(p0 // 16, 0, src_c.shape[0] - 2)
+    off = jnp.clip(p0 - wr * 16, 0, 15)[:, None]
 
-    ccol_w = jnp.zeros((p0.shape[0], WQ), jnp.int32)
-    cbit_w = jnp.zeros((p0.shape[0], WQ), jnp.int32)
-    for o in range(4):
-        co, vo = pick(o)
-        is_o = off[:, 0:1] == o
-        ccol_w = jnp.where(is_o, co, ccol_w)
-        cbit_w = jnp.where(is_o, vo, cbit_w)
-    ccol = ccol_w.reshape(-1)
-    cbit = cbit_w.reshape(-1)
+    def windowed(src):
+        g = jnp.concatenate(
+            [jnp.take(src, wr, axis=0), jnp.take(src, wr + 1, axis=0)],
+            axis=1,
+        )  # [Q, 32]
+        acc = g[:, :WQ]
+        for o in range(1, 16):
+            acc = jnp.where(off == o, g[:, o : o + WQ], acc)
+        return acc.reshape(-1)
+
+    ccol = windowed(src_c)
+    cval = windowed(src_v)
 
     # repair the first WQ-1 slots of every row (window continuity breaks
-    # at row boundaries): m-scale gather + scatter
+    # at row boundaries): m-scale gathers + scatters
     k = jnp.arange(WQ - 1, dtype=INDEX_DTYPE)[None, :]
-    fsrc = jnp.clip(flat_base[:, None] + k, 0, packed.shape[0] - 1)
-    # gather from the flat view (indexing the [T,2] array makes XLA copy it
-    # into a 128-lane-padded layout -> 64x memory at large T)
-    fix_c = jnp.take(flat, (2 * fsrc).reshape(-1))
-    fix_v = jnp.take(flat, (2 * fsrc + 1).reshape(-1))
+    fsrc = jnp.clip(flat_base[:, None] + k, 0, flat_c.shape[0] - 1).reshape(-1)
+    fix_c = jnp.take(flat_c, fsrc)
+    fix_v = jnp.take(flat_v, fsrc)
     tgt = starts[:, None] + k
     okf = nonempty[:, None] & (k < counts[:, None])
-    tgt = jnp.where(okf, tgt, ocap)
-    ccol = ccol.at[tgt.reshape(-1)].set(fix_c, mode="drop")
-    cbit = cbit.at[tgt.reshape(-1)].set(fix_v, mode="drop")
+    tgt = jnp.where(okf, tgt, ocap).reshape(-1)
+    ccol = ccol.at[tgt].set(fix_c, mode="drop")
+    cval = cval.at[tgt].set(fix_v, mode="drop")
 
     ccol = jnp.where(qvalid, ccol, ncols).astype(INDEX_DTYPE)
-    cval = jnp.where(
-        qvalid, jax.lax.bitcast_convert_type(cbit, jnp.float32), 0.0
-    ).astype(QVALUE_DTYPE)
+    cval = jnp.where(qvalid, cval, 0.0).astype(QVALUE_DTYPE)
     return CSR(jnp.minimum(out_rp, ocap), ccol, cval, ncols)
 
 
 def _flat_assemble(
-    packed, counts, flat_base, ncols: int, out_cap: int | None, exact: bool
+    flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int | None, exact: bool
 ) -> CSR:
     """Shared flat-CSR export (also used by formats.tiled.TiledCSR)."""
     if out_cap is None:
@@ -540,7 +538,11 @@ def _flat_assemble(
                 out_cap = int(out_cap * 1.25 + 1023) & ~1023
         else:
             out_cap = int(counts.shape[0]) * ncols
-    return _assemble_jit(packed, counts, flat_base, ncols, int(out_cap))
+    return _assemble_jit(flat_c, flat_v, counts, flat_base, ncols, int(out_cap))
+
+
+def _use_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
 
 
 def spgemm_ell_tiled(a: CSR, b: CSR, plan: EllPlan | None = None):
@@ -550,8 +552,10 @@ def spgemm_ell_tiled(a: CSR, b: CSR, plan: EllPlan | None = None):
 
     if plan is None:
         plan = plan_ell(a, b)
-    packed, counts, flat_base = _tiles_impl(a, b, plan, CHUNK)
-    return TiledCSR(packed, counts, flat_base, plan.ncols)
+    flat_c, flat_v, counts, flat_base = _tiles_impl(
+        a, b, plan, CHUNK, _use_pallas_default()
+    )
+    return TiledCSR(flat_c, flat_v, counts, flat_base, plan.ncols)
 
 
 def spgemm_ell(
@@ -570,10 +574,14 @@ def spgemm_ell(
     """
     if plan is None:
         plan = plan_ell(a, b)
-    packed, counts, flat_base = _tiles_impl(a, b, plan, CHUNK)
+    flat_c, flat_v, counts, flat_base = _tiles_impl(
+        a, b, plan, CHUNK, _use_pallas_default()
+    )
     if out_cap is None and not exact:
         out_cap = plan.out_cap
-    return _flat_assemble(packed, counts, flat_base, plan.ncols, out_cap, exact)
+    return _flat_assemble(
+        flat_c, flat_v, counts, flat_base, plan.ncols, out_cap, exact
+    )
 
 
 def spgemm_ell_symbolic(a: CSR, b: CSR, plan: EllPlan | None = None):
@@ -581,12 +589,14 @@ def spgemm_ell_symbolic(a: CSR, b: CSR, plan: EllPlan | None = None):
     parity with cpu_csr_kernel.h:63-102)."""
     if plan is None:
         plan = plan_ell(a, b)
-    _, counts, _ = _tiles_impl(a, b, plan, CHUNK)
+    _, counts, _ = _tiles_impl(a, b, plan, CHUNK, _use_pallas_default())
     row_ptr = exclusive_cumsum(counts).astype(INDEX_DTYPE)
     return row_ptr, row_ptr[-1]
 
 
 # expose the one-shot impl for tests that pin chunk/max_w
 def _spgemm_ell_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int) -> CSR:
-    packed, counts, flat_base = _tiles_impl(a, b, plan, chunk)
-    return _assemble_jit(packed, counts, flat_base, plan.ncols, plan.out_cap)
+    flat_c, flat_v, counts, flat_base = _tiles_impl(a, b, plan, chunk)
+    return _assemble_jit(
+        flat_c, flat_v, counts, flat_base, plan.ncols, plan.out_cap
+    )

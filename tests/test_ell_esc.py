@@ -156,3 +156,29 @@ def test_tiled_output_roundtrip_and_ops(rng):
     # oracle: A * (A*A)
     want2 = matmul(a, want).make_ordered()
     assert int(nnzc) == int(want2.nnz)
+
+
+def test_pallas_sort_dedup_compact_matches_xla(rng):
+    import jax
+    import jax.numpy as jnp
+    from sparse_matrix_with_flops_tpu.ops.pallas_sort import sort_dedup_compact
+
+    ncols = 37
+    tc = rng.integers(0, ncols + 1, size=(16, 32)).astype(np.int32)
+    tv = np.where(tc < ncols, rng.standard_normal((16, 32)), 0.0).astype(
+        np.float32
+    )
+    k, v = sort_dedup_compact(
+        jnp.asarray(tc), jnp.asarray(tv), ncols, interpret=True
+    )
+    k, v = np.asarray(k), np.asarray(v)
+    for r in range(16):
+        want = {}
+        for c, x in zip(tc[r], tv[r]):
+            if c < ncols:
+                want[c] = want.get(c, 0.0) + x
+        cols_sorted = sorted(want)
+        got_cols = [c for c in k[r] if c < ncols]
+        assert got_cols == cols_sorted, r
+        for i, c in enumerate(cols_sorted):
+            np.testing.assert_allclose(v[r, i], want[c], rtol=1e-5, atol=1e-6)
