@@ -393,45 +393,60 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int, use_pallas: bool = Fa
     if plan.huge_rows.size:
         H = plan.huge_rows.size
         K, N = b.rows, ncols
-        src = jnp.asarray(plan.huge_src)
-        hlens = np.diff(plan.huge_rp)
-        rows_rep = jnp.asarray(
-            np.repeat(np.arange(H, dtype=np.int32), hlens)
-        )
-        a_d = jnp.zeros((H, K), QVALUE_DTYPE)
-        a_d = a_d.at[
-            rows_rep, jnp.clip(jnp.take(a.col_ind, src), 0, K - 1)
-        ].add(jnp.take(a.values, src))
-        # B densified in column slabs to bound memory (~512MB per slab)
+        # B densified in column slabs, huge rows processed in row chunks,
+        # both to bound peak HBM (scale 16 exceeds 15.75G otherwise)
         slab = N
-        while K * slab * 4 > (512 << 20) and slab > 256:
+        while K * slab * 4 > (256 << 20) and slab > 256:
             slab = -(-slab // 2)
         n_slabs = -(-N // slab)
         b_erow = b.entry_rows()
-        c_parts = []
-        for s in range(n_slabs):
-            col_local = b.col_ind - s * slab
+        b_slabs = []
+        for sl in range(n_slabs):
+            col_local = b.col_ind - sl * slab
             tgt = jnp.where(
                 b.entry_valid() & (col_local >= 0) & (col_local < slab),
                 col_local,
                 slab,
             )
             b_d = jnp.zeros((K, slab), QVALUE_DTYPE)
-            b_d = b_d.at[jnp.clip(b_erow, 0, K - 1), tgt].add(
-                b.values, mode="drop"
+            b_slabs.append(
+                b_d.at[jnp.clip(b_erow, 0, K - 1), tgt].add(
+                    b.values, mode="drop"
+                )
             )
-            c_parts.append(
-                jnp.dot(a_d, b_d, preferred_element_type=jnp.float32)
+        HC = 1024 if H > 1024 else H  # huge-row chunk
+        hlens = np.diff(plan.huge_rp)
+        hcounts = []
+        for h0 in range(0, H, HC):
+            h1 = min(h0 + HC, H)
+            hc = h1 - h0
+            e0, e1 = int(plan.huge_rp[h0]), int(plan.huge_rp[h1])
+            src = jnp.asarray(plan.huge_src[e0:e1])
+            rows_rep = jnp.asarray(
+                np.repeat(
+                    np.arange(hc, dtype=np.int32), hlens[h0:h1]
+                )
             )
-        c_d = jnp.concatenate(c_parts, axis=1)[:, :N]
-        lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, (H, N), 1)
-        key = jnp.where(c_d != 0, lanes, N)
-        key, vals = jax.lax.sort((key, c_d), dimension=1, num_keys=1)
+            a_d = jnp.zeros((hc, K), QVALUE_DTYPE)
+            a_d = a_d.at[
+                rows_rep, jnp.clip(jnp.take(a.col_ind, src), 0, K - 1)
+            ].add(jnp.take(a.values, src))
+            c_d = jnp.concatenate(
+                [
+                    jnp.dot(a_d, bd, preferred_element_type=jnp.float32)
+                    for bd in b_slabs
+                ],
+                axis=1,
+            )[:, :N]
+            lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, (hc, N), 1)
+            key = jnp.where(c_d != 0, lanes, N)
+            key, vals = jax.lax.sort((key, c_d), dimension=1, num_keys=1)
+            hcounts.append(jnp.sum(key < N, axis=1).astype(INDEX_DTYPE))
+            cols_parts.append(key.reshape(-1))
+            vals_parts.append(vals.reshape(-1))
         counts = counts.at[jnp.asarray(plan.huge_rows)].set(
-            jnp.sum(key < N, axis=1).astype(INDEX_DTYPE), mode="drop"
+            jnp.concatenate(hcounts), mode="drop"
         )
-        cols_parts.append(key.reshape(-1))
-        vals_parts.append(vals.reshape(-1))
     flat_c = (
         jnp.concatenate(cols_parts)
         if cols_parts

@@ -74,7 +74,8 @@ def _bitonic_sort_lanes(key, val, width: int):
             asc = (lane & k) == 0
             lo_k = jnp.where(is_lo, key, pk)
             hi_k = jnp.where(is_lo, pk, key)
-            do_swap = jnp.where(asc, lo_k > hi_k, lo_k < hi_k)
+            # logical form: Mosaic rejects select between i1 vectors
+            do_swap = (asc & (lo_k > hi_k)) | (~asc & (lo_k < hi_k))
             key = jnp.where(do_swap, pk, key)
             val = jnp.where(do_swap, pv, val)
             j //= 2

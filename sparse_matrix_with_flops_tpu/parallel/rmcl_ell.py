@@ -267,14 +267,33 @@ def sharded_rmcl_ell(
     S: int = 128,
     max_tile: int = 8192,
     axis: str = ROW_AXIS,
+    balance: bool = False,
 ):
-    """End-to-end distributed static R-MCL.  Returns (CSR, stats)."""
+    """End-to-end distributed static R-MCL.  Returns (CSR, stats).
+
+    ``balance=True`` relabels the graph with the flops-balanced snake
+    permutation (arrayEqualPartition's static-shape descendant,
+    sharded.py) so every shard carries near-equal first-iteration flops;
+    the result is relabelled back before returning.
+    """
     from ..formats.coo import COO
     from ..models.rmcl import rmcl_init
     from ..models.rmcl_ell import ell_to_csr, mt_to_ell
 
     mt0 = rmcl_init(graph) if isinstance(graph, COO) else graph
     num_shards = mesh.devices.size
+    inv_perm = None
+    if balance:
+        from ..ops.flops import row_flops
+        from .sharded import flops_balanced_permutation
+
+        rf = np.asarray(row_flops(mt0, mt0))
+        perm = flops_balanced_permutation(rf, num_shards)
+        inv_perm = np.zeros_like(perm)
+        inv_perm[perm] = np.arange(perm.size, dtype=perm.dtype)
+        # conjugate relabel (P M Pt): rows AND cols, so the iteration is
+        # isomorphic and shards get near-equal flops
+        mt0 = mt0.conjugate_permute(jnp.asarray(perm))
     plan, arrays, smgt = plan_sharded_rmcl_ell(
         mt0, num_shards, S=S, max_tile=max_tile
     )
@@ -298,4 +317,6 @@ def sharded_rmcl_ell(
         np.asarray(fv).reshape(plan.n, S)[: mt0.rows],
         mt0.ncols,
     )
+    if inv_perm is not None:
+        out = out.conjugate_permute(jnp.asarray(inv_perm))
     return out, {k: np.asarray(v) for k, v in hist.items()}

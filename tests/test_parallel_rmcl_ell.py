@@ -47,3 +47,15 @@ def test_sharded_static_matches_single_chip_random(rng):
     np.testing.assert_allclose(
         hist["differs"], rhist["differs"], rtol=1e-3, atol=1e-5
     )
+
+
+def test_sharded_balanced_matches_unbalanced(rng):
+    mesh = make_mesh(4)
+    n = 32
+    mask = rng.random((n, n)) < 0.25
+    np.fill_diagonal(mask, True)
+    dense = np.where(mask, 1.0, 0.0).astype(np.float32)
+    mt0 = CSR.from_dense(dense).aver_and_norm_rows()
+    ref, _ = sharded_rmcl_ell(mt0, mesh, max_iters=2, S=32)
+    got, _ = sharded_rmcl_ell(mt0, mesh, max_iters=2, S=32, balance=True)
+    assert _compare(got, ref)

@@ -27,20 +27,25 @@ def main():
         cap, _ = spgemm_upper_bounds(a, a)
         plan = E.plan_ell(a, a)
         da = jax.device_put(a)
+        use_pallas = jax.default_backend() == "tpu"
         t0 = time.monotonic()
-        ms_t = bench_fn(lambda x: E._tiles_impl(x, x, plan, E.CHUNK), da, warmup=1, iters=3)
+        ms_t = bench_fn(
+            lambda x: E._tiles_impl(x, x, plan, E.CHUNK, use_pallas),
+            da, warmup=1, iters=3,
+        )
         c_t = time.monotonic() - t0
 
-        packed, counts, flat_base = E._tiles_impl(da, da, plan, E.CHUNK)
-        jax.block_until_ready(packed)
+        fc, fv, counts, flat_base = E._tiles_impl(da, da, plan, E.CHUNK, use_pallas)
+        jax.block_until_ready(fc)
         nnzc = int(jnp.sum(counts))
         out_cap = 1024
         while out_cap < nnzc:
             out_cap = int(out_cap * 1.25 + 1023) & ~1023
         t0 = time.monotonic()
         ms_a = bench_fn(
-            lambda p, c, f: E._assemble_jit(p, c, f, plan.ncols, out_cap),
-            packed,
+            lambda pc, pv, c, f: E._assemble_jit(pc, pv, c, f, plan.ncols, out_cap),
+            fc,
+            fv,
             counts,
             flat_base,
             warmup=1,
