@@ -138,30 +138,37 @@ def plan_ell(
             b_classes.append((int(s), sel.astype(np.int32)))
         s *= 2
 
-    # ---- entry classes + chunk layout ----------------------------------
-    ent_classes = []
+    # ---- chunk layout over the B-ELL class arrays -----------------------
+    # tile gathers read B-ELL chunks DIRECTLY (values scaled by the A value
+    # per chunk afterwards) — no intermediate per-entry product copy.
+    ent_classes = ()  # kept for dataclass compat; expansion needs no lists
     class_chunk_base = []
     chunk_base = 0
-    ent_chunk_start = np.zeros(nnz, dtype=np.int64)  # first chunk of entry
     for ci, (S, b_rows) in enumerate(b_classes):
-        sel_e = np.nonzero((b_class_of_row[safe] == ci) & (elen > 0))[0]
-        slots = b_slot_of_row[safe[sel_e]]
         class_chunk_base.append(chunk_base)
-        cpe = S // chunk  # chunks per entry in this class
+        cpe = S // chunk
+        # each class array carries len(b_rows) rows + 1 sentinel row
+        chunk_base += (b_rows.shape[0] + 1) * cpe
+    total_chunks = chunk_base
+    # global pad chunk: the sentinel row of the first class (all-sentinel)
+    if b_classes:
+        S0, rows0 = b_classes[0]
+        sentinel_chunk = class_chunk_base[0] + rows0.shape[0] * (S0 // chunk)
+    else:
+        sentinel_chunk = 0
+    # first B-ELL chunk of each A entry
+    ent_chunk_start = np.zeros(nnz, dtype=np.int64)
+    ent_cpe = np.zeros(nnz, dtype=np.int64)
+    act = elen > 0
+    cls = b_class_of_row[safe]
+    for ci, (S, b_rows) in enumerate(b_classes):
+        cpe = S // chunk
+        sel_e = np.nonzero(act & (cls == ci))[0]
         ent_chunk_start[sel_e] = (
-            chunk_base + np.arange(sel_e.size, dtype=np.int64) * cpe
+            class_chunk_base[ci]
+            + b_slot_of_row[safe[sel_e]].astype(np.int64) * cpe
         )
-        chunk_base += sel_e.size * cpe
-        if quantize:
-            pad = _qpad8(sel_e.size) - sel_e.size
-            # pad entries point at the class's sentinel slot (-1): the
-            # impl routes them to an all-sentinel ELL row
-            sel_e = np.concatenate([sel_e, np.zeros(pad, sel_e.dtype)])
-            slots = np.concatenate([slots, np.full(pad, -1, slots.dtype)])
-            chunk_base += pad * cpe
-        ent_classes.append((S, sel_e.astype(np.int32), slots.astype(np.int32)))
-    total_chunks = chunk_base + 1  # + sentinel chunk
-    sentinel_chunk = chunk_base
+        ent_cpe[sel_e] = cpe
 
     # ---- row tile bins (vectorised tile_src construction) ---------------
     wr = np.where(prow_w > 0, np.maximum(chunk, prow_w), 0)
@@ -207,6 +214,8 @@ def plan_ell(
             )
             tile_src = np.full(rpad * cpr, sentinel_chunk, dtype=np.int64)
             tile_src[dest] = src_vals
+            tile_ent = np.zeros(rpad * cpr, dtype=np.int64)
+            tile_ent[dest] = np.repeat(e_sel, ne)
             sel_p = (
                 np.concatenate(
                     [sel, np.full(rpad - sel.size, -1, sel.dtype)]
@@ -215,7 +224,12 @@ def plan_ell(
                 else sel
             )
             bins.append(
-                (int(w), sel_p.astype(np.int32), tile_src.astype(np.int32))
+                (
+                    int(w),
+                    sel_p.astype(np.int32),
+                    tile_src.astype(np.int32),
+                    tile_ent.astype(np.int32),
+                )
             )
         w *= 2
     huge = np.nonzero(wr_p2 > max_w)[0].astype(np.int32)
@@ -267,7 +281,7 @@ def _flat_layout(plan: EllPlan):
     base = 0
     bin_starts = []
     flat_base = np.zeros(plan.rows, dtype=np.int64)
-    for W, row_ids, _ in plan.bins:
+    for W, row_ids, _, _e in plan.bins:
         bin_starts.append(base)
         valid = row_ids >= 0
         flat_base[row_ids[valid]] = (
@@ -323,31 +337,27 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int, use_pallas: bool = Fa
         ev = jnp.concatenate([ev, jnp.zeros((1, S), QVALUE_DTYPE)], axis=0)
         b_ells.append((ec.astype(INDEX_DTYPE), ev.astype(QVALUE_DTYPE)))
 
-    # 2. expansion: per class, row-gather B segments, scale by A values
-    sent_c = jnp.full((1, chunk), ncols, INDEX_DTYPE)
-    sent_v = jnp.zeros((1, chunk), QVALUE_DTYPE)
-    chunks_c, chunks_v = [], []
-    for ci, (S, ent_idx, b_slot) in enumerate(plan.ent_classes):
-        if ent_idx.size == 0:
-            continue
-        ec, ev = b_ells[ci]
-        slots = jnp.asarray(b_slot)
-        slots = jnp.where(slots >= 0, slots, ec.shape[0] - 1)
-        pc = jnp.take(ec, slots, axis=0)  # [E_S, S] row gather
-        pv = jnp.take(ev, slots, axis=0)
-        aval = jnp.take(a.values, jnp.asarray(ent_idx))[:, None]
-        chunks_c.append(pc.reshape(-1, chunk))
-        chunks_v.append((pv * aval).reshape(-1, chunk))
-    prod_c = jnp.concatenate(chunks_c + [sent_c], axis=0) if chunks_c else sent_c
-    prod_v = jnp.concatenate(chunks_v + [sent_v], axis=0) if chunks_v else sent_v
+    # 2. chunk view of the B-ELL classes (tile gathers read these
+    # directly; values are scaled by the owning A entry's value per chunk)
+    if b_ells:
+        prod_c = jnp.concatenate(
+            [ec.reshape(-1, chunk) for ec, _ in b_ells], axis=0
+        )
+        prod_v = jnp.concatenate(
+            [ev.reshape(-1, chunk) for _, ev in b_ells], axis=0
+        )
+    else:
+        prod_c = jnp.full((1, chunk), ncols, INDEX_DTYPE)
+        prod_v = jnp.zeros((1, chunk), QVALUE_DTYPE)
 
-    # 3-4. per-bin row tiles: gather chunks, sort, dedup, compact
+    # 3-4. per-bin row tiles: gather chunks, scale, sort, dedup, compact
     counts = jnp.zeros((m,), INDEX_DTYPE)
     cols_parts, vals_parts = [], []
-    for bi, (W, row_ids, tile_src) in enumerate(plan.bins):
+    for bi, (W, row_ids, tile_src, tile_ent) in enumerate(plan.bins):
         src = jnp.asarray(tile_src)
+        aval = jnp.take(a.values, jnp.asarray(tile_ent))[:, None]
         tc = jnp.take(prod_c, src, axis=0).reshape(-1, W)  # row gather
-        tv = jnp.take(prod_v, src, axis=0).reshape(-1, W)
+        tv = (jnp.take(prod_v, src, axis=0) * aval).reshape(-1, W)
         if use_pallas:
             from .pallas_sort import sort_dedup_compact
 

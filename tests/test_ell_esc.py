@@ -108,8 +108,8 @@ def test_ell_esc_quantized_shapes_repeat(rng):
     a2 = _random_csr(rng, 40, 40, 0.21)
     p1 = plan_ell(a1, a1, chunk=8, max_w=64, quantize=True)
     p2 = plan_ell(a2, a2, chunk=8, max_w=64, quantize=True)
-    s1 = [(w, r.shape, t.shape) for w, r, t in p1.bins]
-    s2 = [(w, r.shape, t.shape) for w, r, t in p2.bins]
+    s1 = [(w, r.shape, t.shape) for w, r, t, _ in p1.bins]
+    s2 = [(w, r.shape, t.shape) for w, r, t, _ in p2.bins]
     assert s1 == s2
 
 

@@ -53,7 +53,7 @@ def main():
     max_w = int(os.environ.get("MAX_W", "8192"))
     plan = plan_ell(a, a, max_w=max_w)
     print(
-        f"plan {time.monotonic()-t0:.1f}s  bins={[(w, len(r)) for w, r, _ in plan.bins]} "
+        f"plan {time.monotonic()-t0:.1f}s  bins={[(w, len(r)) for w, r, *_ in plan.bins]} "
         f"huge={plan.huge_rows.size} chunks={plan.total_chunks} out_cap={plan.out_cap}",
         flush=True,
     )
