@@ -83,6 +83,8 @@ def main(argv=None) -> int:
         if args.banded:
             jobs.append(("banded_32k_b32", banded_csr(32768, bandwidth=32)))
 
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     sink = open(args.out, "a") if args.out else None
     for name, a in jobs:
         rec = run_one(name, a, args.kernel)

@@ -8,6 +8,7 @@ pipeline), binned (flops-binned tiles), or rmcl (full fused iteration).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -69,7 +70,15 @@ def main(argv=None) -> int:
             fn = lambda x: spgemm_ell_tiled(x, x, eplan)
     else:
         fn = lambda x: spgemm(x, x, product_cap, out_cap)
-    ms = bench_fn(fn, da, warmup=1, iters=args.iters)
+    prof_dir = os.environ.get("SMF_PROFILE_DIR")
+    if prof_dir:
+        # xprof trace of the timed region (the jax.profiler counterpart of
+        # the reference's nvprof harness, tools/trun.sh)
+        with jax.profiler.trace(prof_dir):
+            ms = bench_fn(fn, da, warmup=1, iters=args.iters)
+        print(f"profile trace written to {prof_dir}")
+    else:
+        ms = bench_fn(fn, da, warmup=1, iters=args.iters)
     print(
         f"{args.kernel} spgemm: {ms:.3f} ms, "
         f"GFLOPS = {flops2 / ms / 1e6:.3f}"

@@ -140,6 +140,50 @@ class CSR:
         this is a shallow rebuild, provided for API familiarity."""
         return CSR(self.row_ptr, self.col_ind, self.values, self.ncols)
 
+    def to_abs(self) -> "CSR":
+        """values <- |values| (CSR::toAbs, CSR.h:152-157; the GPU driver
+        applies it before the binned pipeline, nGpuSpMM.cc:292)."""
+        return CSR(
+            self.row_ptr, self.col_ind, jnp.abs(self.values), self.ncols
+        )
+
+    def to_one_based(self):
+        """Host (row_ptr+1, col_ind+1) arrays for 1-based interop
+        (CSR::toOneBasedCSR, CSR.h:170-180 — the MKL convention)."""
+        rp = np.asarray(self.row_ptr) + 1
+        nnz = int(rp[-1]) - 1
+        return rp, np.asarray(self.col_ind)[:nnz] + 1, np.asarray(self.values)[:nnz]
+
+    @staticmethod
+    def from_one_based(row_ptr, col_ind, values, ncols: int) -> "CSR":
+        """Inverse of to_one_based (CSR::toZeroBasedCSR, CSR.h:182-190)."""
+        rp = np.asarray(row_ptr) - 1
+        return CSR.from_arrays(
+            rp, np.asarray(col_ind) - 1, values, ncols
+        )
+
+    def output(self, path: str | None = None, name: str = "csr") -> str:
+        """Text dump (CSR::output debugging aid, CSR.h:109-128;
+        nrmcl.cc:22-25 writes the iterate under #ifdef debugging)."""
+        import io as _io
+
+        rp = np.asarray(self.row_ptr)
+        nnz = int(rp[-1])
+        col = np.asarray(self.col_ind)[:nnz]
+        val = np.asarray(self.values)[:nnz]
+        buf = _io.StringIO()
+        buf.write(f"{name} rows={self.rows} cols={self.ncols} nnz={nnz}\n")
+        for i in range(self.rows):
+            ent = " ".join(
+                f"({col[j]},{val[j]:.6g})" for j in range(rp[i], rp[i + 1])
+            )
+            buf.write(f"{i}: {ent}\n")
+        text = buf.getvalue()
+        if path:
+            with open(path, "w") as f:
+                f.write(text)
+        return text
+
     # ---- ordering -------------------------------------------------------------
     def make_ordered(self) -> "CSR":
         """Sort columns within each row (CSR::makeOrdered, CSR.cc:73-86).

@@ -470,8 +470,11 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int, use_pallas: bool = Fa
     return flat_c, flat_v, counts, flat_base
 
 
-@partial(jax.jit, static_argnames=("ncols", "out_cap"))
-def _assemble_jit(flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int):
+@partial(jax.jit, static_argnames=("ncols", "out_cap", "use_pallas"))
+def _assemble_jit(
+    flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int,
+    use_pallas: bool = False,
+):
     """counts -> row_ptr; windowed gathers build the flat CSR.
 
     Row gathers are descriptor-bound, so the export gathers 16-element
@@ -483,7 +486,7 @@ def _assemble_jit(flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int):
     m = counts.shape[0]
     WQ = 16  # output window (elements)
     out_rp = exclusive_cumsum(counts).astype(INDEX_DTYPE)
-    ocap = -(-out_cap // WQ) * WQ
+    ocap = -(-out_cap // 128) * 128
     q = jnp.arange(ocap, dtype=INDEX_DTYPE)
     total = out_rp[-1]
     qvalid = q < total
@@ -507,31 +510,50 @@ def _assemble_jit(flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int):
     )
     idx = q + jnp.cumsum(dd)
 
-    tpad = -(-flat_c.shape[0] // 16) * 16 + 64
-    fc = jnp.concatenate(
-        [flat_c, jnp.full((tpad - flat_c.shape[0],), ncols, jnp.int32)]
-    )
-    fv = jnp.concatenate(
-        [flat_v, jnp.zeros((tpad - flat_v.shape[0],), jnp.float32)]
-    )
-    src_c = fc.reshape(-1, 16)
-    src_v = fv.reshape(-1, 16)
-    p0 = idx[::WQ]
-    wr = jnp.clip(p0 // 16, 0, src_c.shape[0] - 2)
-    off = jnp.clip(p0 - wr * 16, 0, 15)[:, None]
+    if use_pallas:
+        from .pallas_align import window_align_gather
 
-    def windowed(src):
-        g = jnp.concatenate(
-            [jnp.take(src, wr, axis=0), jnp.take(src, wr + 1, axis=0)],
-            axis=1,
-        )  # [Q, 32]
-        acc = g[:, :WQ]
-        for o in range(1, 16):
-            acc = jnp.where(off == o, g[:, o : o + WQ], acc)
-        return acc.reshape(-1)
+        # 128-lane source rows + 1 slack row; the align kernel DMAs the
+        # two straddled rows per 16-window and rolls them into place
+        tpad = -(-flat_c.shape[0] // 128) * 128 + 128
+        fc2 = jnp.concatenate(
+            [flat_c, jnp.full((tpad - flat_c.shape[0],), ncols, jnp.int32)]
+        ).reshape(-1, 128)
+        fv2 = jnp.concatenate(
+            [flat_v, jnp.zeros((tpad - flat_v.shape[0],), jnp.float32)]
+        ).reshape(-1, 128)
+        p0 = idx[::WQ]
+        wr = jnp.clip(p0 // 128, 0, fc2.shape[0] - 2)
+        off = jnp.clip(p0 - wr * 128, 0, 127)
+        interp = jax.default_backend() != "tpu"
+        ccol = window_align_gather(fc2, wr, off, interpret=interp)
+        cval = window_align_gather(fv2, wr, off, interpret=interp)
+    else:
+        tpad = -(-flat_c.shape[0] // 16) * 16 + 64
+        fc = jnp.concatenate(
+            [flat_c, jnp.full((tpad - flat_c.shape[0],), ncols, jnp.int32)]
+        )
+        fv = jnp.concatenate(
+            [flat_v, jnp.zeros((tpad - flat_v.shape[0],), jnp.float32)]
+        )
+        src_c = fc.reshape(-1, 16)
+        src_v = fv.reshape(-1, 16)
+        p0 = idx[::WQ]
+        wr = jnp.clip(p0 // 16, 0, src_c.shape[0] - 2)
+        off = jnp.clip(p0 - wr * 16, 0, 15)[:, None]
 
-    ccol = windowed(src_c)
-    cval = windowed(src_v)
+        def windowed(src):
+            g = jnp.concatenate(
+                [jnp.take(src, wr, axis=0), jnp.take(src, wr + 1, axis=0)],
+                axis=1,
+            )  # [Q, 32]
+            acc = g[:, :WQ]
+            for o in range(1, 16):
+                acc = jnp.where(off == o, g[:, o : o + WQ], acc)
+            return acc.reshape(-1)
+
+        ccol = windowed(src_c)
+        cval = windowed(src_v)
 
     # repair the first WQ-1 slots of every row (window continuity breaks
     # at row boundaries): m-scale gathers + scatters
@@ -551,7 +573,14 @@ def _assemble_jit(flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int):
 
 
 def _flat_assemble(
-    flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int | None, exact: bool
+    flat_c,
+    flat_v,
+    counts,
+    flat_base,
+    ncols: int,
+    out_cap: int | None,
+    exact: bool,
+    use_pallas: bool | None = None,
 ) -> CSR:
     """Shared flat-CSR export (also used by formats.tiled.TiledCSR)."""
     if out_cap is None:
@@ -563,7 +592,11 @@ def _flat_assemble(
                 out_cap = int(out_cap * 1.25 + 1023) & ~1023
         else:
             out_cap = int(counts.shape[0]) * ncols
-    return _assemble_jit(flat_c, flat_v, counts, flat_base, ncols, int(out_cap))
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    return _assemble_jit(
+        flat_c, flat_v, counts, flat_base, ncols, int(out_cap), use_pallas
+    )
 
 
 def _use_pallas_default() -> bool:

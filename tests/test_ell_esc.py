@@ -182,3 +182,22 @@ def test_pallas_sort_dedup_compact_matches_xla(rng):
         assert got_cols == cols_sorted, r
         for i, c in enumerate(cols_sorted):
             np.testing.assert_allclose(v[r, i], want[c], rtol=1e-5, atol=1e-6)
+
+
+def test_assembly_pallas_align_path(rng):
+    # full pipeline with the Pallas window-align assembly (interpret mode)
+    from sparse_matrix_with_flops_tpu.ops.ell_esc import (
+        _flat_assemble,
+        _tiles_impl,
+    )
+
+    a = _random_csr(rng, 40, 40, 0.2)
+    plan = plan_ell(a, a, chunk=8, max_w=64)
+    fc, fv, counts, fb = _tiles_impl(a, a, plan, 8)
+    got = _flat_assemble(fc, fv, counts, fb, 40, None, True, use_pallas=True)
+    want = spgemm_dense_oracle(a, a)
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-4
+        )
+    )

@@ -158,3 +158,27 @@ class TestCOO:
         coo = COO.from_numpy([3], [0], [1.0], 5, 2, capacity=4)
         csr = coo.to_csr()
         np.testing.assert_array_equal(np.asarray(csr.row_ptr), [0, 0, 0, 0, 1, 1])
+
+
+def test_csr_to_abs_and_one_based(rng):
+    import numpy as np
+    from sparse_matrix_with_flops_tpu.formats.csr import CSR
+
+    dense = np.array([[0, -2.0, 1.5], [3.0, 0, 0]], np.float32)
+    a = CSR.from_dense(dense)
+    assert np.allclose(np.asarray(a.to_abs().to_dense()), np.abs(dense))
+    rp, ci, v = a.to_one_based()
+    assert rp[0] == 1 and ci.min() >= 1
+    back = CSR.from_one_based(rp, ci, v, 3)
+    assert bool(back.is_equal(a))
+
+
+def test_csr_output_text(tmp_path):
+    import numpy as np
+    from sparse_matrix_with_flops_tpu.formats.csr import CSR
+
+    a = CSR.from_dense(np.eye(3, dtype=np.float32))
+    p = str(tmp_path / "m.txt")
+    txt = a.output(path=p, name="eye")
+    assert open(p).read() == txt
+    assert "eye rows=3 cols=3 nnz=3" in txt
