@@ -510,7 +510,12 @@ def _assemble_jit(
     )
     idx = q + jnp.cumsum(dd)
 
-    if use_pallas:
+    # The Pallas align kernel needs (8,128)-granular blocks (Mosaic
+    # minimum) which costs 8x read amplification; keep it opt-in until the
+    # DMA formulation lands.  Default: XLA windowed gathers.
+    import os as _os
+
+    if use_pallas and _os.environ.get("SMF_ALIGN_KERNEL"):
         from .pallas_align import window_align_gather
 
         # 128-lane source rows + 1 slack row; the align kernel DMAs the

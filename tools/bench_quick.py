@@ -7,7 +7,7 @@ from sparse_matrix_with_flops_tpu.utils.generate import rmat_csr
 from sparse_matrix_with_flops_tpu.utils.timing import bench_fn
 
 print("backend:", jax.default_backend(), flush=True)
-for scale, mode in [(14, "full"), (15, "full"), (16, "tiled")]:
+for scale, mode in [(14, "full"), (15, "full"), (16, "full"), (16, "tiled")]:
     a = rmat_csr(scale, edge_factor=8, seed=7, weights="random")
     cap, _ = spgemm_upper_bounds(a, a)
     plan = E.plan_ell(a, a)
