@@ -26,6 +26,30 @@ def main(argv=None) -> int:
 
     from ..models.rmcl import BACKENDS
 
+    if args.rmclOptions.upper() == "STATIC":
+        # the production path: static fused loop with MCL selection cap
+        from ..models.rmcl_ell import rmcl_ell
+
+        coo = load_coo(args.input, is_trans=True, extra_capacity=2**20)
+        mt0 = rmcl_init(coo)
+        t0 = time_in_mill_now()
+        ref = rmcl(mt0, max_iters=args.maxIters, mode="loop", backend="SEQ")
+        t1 = time_in_mill_now()
+        got, hist = rmcl_ell(mt0, max_iters=args.maxIters)
+        t2 = time_in_mill_now()
+        print(
+            f"seq-loop time = {t1 - t0:.1f} ms, static time = {t2 - t1:.1f} ms"
+        )
+        a = ref.mt.make_ordered()._drop_explicit_zeros()
+        b = got.make_ordered()._drop_explicit_zeros()
+        same = bool(a.is_raw_equal(b, tol=1e-5))
+        print("Same" if same else "Diffs")
+        print(
+            f"final nnz = {int(hist['nnz'][-1])}, iters = {args.maxIters}, "
+            f"truncated rows = {int(hist['truncated_rows'].sum())}"
+        )
+        return 0 if same else 1
+
     if args.rmclOptions.upper() not in BACKENDS:
         # validate before any compile work (the reference exits on an
         # unconfigured backend too, qrmcl.cc:49-62)

@@ -208,13 +208,22 @@ def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
         trunc_rows = trunc_rows + jnp.sum(truncated)
 
     if plan.huge_rows.size:
-        # hub rows: dense MXU matmul against the densified iterate
-        mt_dense = jnp.zeros((n, n), QVALUE_DTYPE)
+        # hub rows: dense MXU matmul against the densified iterate,
+        # in column slabs so the dense iterate never exceeds ~1GB
         rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (n, S), 0)
-        mt_dense = mt_dense.at[rix, mt_cols].add(mt_vals, mode="drop")
-        c_h = jnp.dot(
-            a_dense_huge, mt_dense, preferred_element_type=jnp.float32
-        )
+        slab = n
+        while n * slab * 4 > (1 << 30) and slab > 1024:
+            slab = -(-slab // 2)
+        c_parts = []
+        for s0 in range(0, n, slab):
+            loc = mt_cols - s0
+            tgt = jnp.where((loc >= 0) & (loc < slab), loc, slab)
+            md = jnp.zeros((n, slab), QVALUE_DTYPE)
+            md = md.at[rix, tgt].add(mt_vals, mode="drop")
+            c_parts.append(
+                jnp.dot(a_dense_huge, md, preferred_element_type=jnp.float32)
+            )
+        c_h = jnp.concatenate(c_parts, axis=1)[:, :n]
         lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, c_h.shape, 1)
         key = jnp.where(c_h != 0, lanes, n)
         sc, sw, truncated = _prune_select_lanes(key, c_h, n, S)

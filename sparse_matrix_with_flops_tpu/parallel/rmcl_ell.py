@@ -157,10 +157,20 @@ def _local_step(plan, a_rp, a_ci, a_v, row_ids, ent_src, huge_rows, a_dense,
         trunc = trunc + jnp.sum(jnp.where(ok, truncated, False))
 
     if plan.hmax:
-        mt_dense = jnp.zeros((n, n), QVALUE_DTYPE)
         rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (n, S), 0)
-        mt_dense = mt_dense.at[rix, g_cols].add(g_vals, mode="drop")
-        c_h = jnp.dot(a_dense, mt_dense, preferred_element_type=jnp.float32)
+        slab = n
+        while n * slab * 4 > (1 << 30) and slab > 1024:
+            slab = -(-slab // 2)
+        c_parts = []
+        for s0 in range(0, n, slab):
+            loc = g_cols - s0
+            tgt = jnp.where((loc >= 0) & (loc < slab), loc, slab)
+            md = jnp.zeros((n, slab), QVALUE_DTYPE)
+            md = md.at[rix, tgt].add(g_vals, mode="drop")
+            c_parts.append(
+                jnp.dot(a_dense, md, preferred_element_type=jnp.float32)
+            )
+        c_h = jnp.concatenate(c_parts, axis=1)[:, :n]
         lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, c_h.shape, 1)
         key = jnp.where(c_h != 0, lanes, n)
         sc, sw, truncated = _prune_select_lanes(key, c_h, n, S)
