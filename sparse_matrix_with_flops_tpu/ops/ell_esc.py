@@ -305,8 +305,17 @@ def _flat_layout(plan: EllPlan):
     return lay
 
 
-@partial(jax.jit, static_argnames=("plan", "chunk", "use_pallas"))
-def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int, use_pallas: bool = False):
+@partial(
+    jax.jit, static_argnames=("plan", "chunk", "use_pallas", "fused_out_cap")
+)
+def _tiles_impl(
+    a: CSR,
+    b: CSR,
+    plan: EllPlan,
+    chunk: int,
+    use_pallas: bool = False,
+    fused_out_cap: int | None = None,
+):
     """Phase 1: expansion + per-bin sort/dedup/compaction.
 
     Returns (flat cols [T] int32, flat vals [T] f32, counts [m],
@@ -467,11 +476,17 @@ def _tiles_impl(a: CSR, b: CSR, plan: EllPlan, chunk: int, use_pallas: bool = Fa
         if vals_parts
         else jnp.zeros((1,), jnp.float32)
     )
+    if fused_out_cap is not None:
+        # single-dispatch mode: assembly fused into the same executable
+        # (the tunnel adds ~40ms launch latency per dispatch)
+        return _assemble_body(
+            flat_c, flat_v, counts, flat_base, ncols, fused_out_cap,
+            use_pallas,
+        )
     return flat_c, flat_v, counts, flat_base
 
 
-@partial(jax.jit, static_argnames=("ncols", "out_cap", "use_pallas"))
-def _assemble_jit(
+def _assemble_body(
     flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int,
     use_pallas: bool = False,
 ):
@@ -577,6 +592,16 @@ def _assemble_jit(
     return CSR(jnp.minimum(out_rp, ocap), ccol, cval, ncols)
 
 
+@partial(jax.jit, static_argnames=("ncols", "out_cap", "use_pallas"))
+def _assemble_jit(
+    flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int,
+    use_pallas: bool = False,
+):
+    return _assemble_body(
+        flat_c, flat_v, counts, flat_base, ncols, out_cap, use_pallas
+    )
+
+
 def _flat_assemble(
     flat_c,
     flat_v,
@@ -637,11 +662,22 @@ def spgemm_ell(
     """
     if plan is None:
         plan = plan_ell(a, b)
-    flat_c, flat_v, counts, flat_base = _tiles_impl(
-        a, b, plan, CHUNK, _use_pallas_default()
-    )
+    up = _use_pallas_default()
+    cached = getattr(plan, "_nnzc_cache", None)
+    if out_cap is None and exact and cached is not None:
+        # structure-determined nnz(C) known from a prior call: fuse both
+        # phases into one dispatch
+        return _tiles_impl(a, b, plan, CHUNK, up, fused_out_cap=cached)
+    flat_c, flat_v, counts, flat_base = _tiles_impl(a, b, plan, CHUNK, up)
     if out_cap is None and not exact:
         out_cap = plan.out_cap
+    if out_cap is None and exact:
+        nnzc = int(jnp.sum(counts))
+        cap = 1024
+        while cap < nnzc:
+            cap = int(cap * 1.25 + 1023) & ~1023
+        object.__setattr__(plan, "_nnzc_cache", cap)
+        out_cap = cap
     return _flat_assemble(
         flat_c, flat_v, counts, flat_base, plan.ncols, out_cap, exact
     )
