@@ -54,7 +54,7 @@ def main() -> None:
             shape=a.shape,
         )
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.monotonic()
             _ = sa @ sa
             best = min(best, (time.monotonic() - t0) * 1e3)
