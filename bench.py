@@ -6,7 +6,7 @@ The reference publishes no numbers (BASELINE.md); it computes GFLOPS at
 runtime as flops/ms/1e6 with flops = 2 × Σ_i Σ_{j∈A[i,:]} nnz(B[j,:])
 (perfTests/only-somp.cc:36-37).  Same accounting here, on the same
 workload family (power-law graph).  ``vs_baseline`` divides by the best of
-three scipy CSR SpGEMM runs on this host's CPU — the same Gustavson
+five scipy CSR SpGEMM runs on this host's CPU — the same Gustavson
 algorithm family as the reference CPU kernels, on 2026 hardware.
 
 The kernel is the ELL-ESC pipeline (ops/ell_esc.py): flops-classified row
@@ -43,7 +43,7 @@ def main() -> None:
     ms = bench_fn(lambda x: spgemm_ell(x, x, plan), dev_a, warmup=2, iters=5)
     gflops = flops2 / ms / 1e6
 
-    # host-CPU Gustavson baseline (best of 3 to dodge host contention)
+    # host-CPU Gustavson baseline (best of 5 to dodge host contention)
     try:
         import scipy.sparse as sp
 

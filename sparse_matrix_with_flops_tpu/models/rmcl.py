@@ -216,8 +216,10 @@ def rmcl(
     for _ in range(max_iters):
         with prof.span("plan"):
             pc, cc = plan_capacities(mgt, mt, margin=1.0)
-        with prof.span("one_step", block_on=None):
+        with prof.span("one_step"):
             new_mt, info = step_impl(mgt, mt, pc, max(cc, mt.capacity))
+            if profile:
+                jax.block_until_ready(new_mt.values)
         if track_differs:
             diffs.append(float(csr_differs(mt, new_mt)))
         if track_row_growth:

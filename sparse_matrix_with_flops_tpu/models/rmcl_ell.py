@@ -61,11 +61,15 @@ def plan_rmcl_ell(mgt: CSR, S: int = 128, max_tile: int = 8192) -> RmclEllPlan:
     rp = np.asarray(mgt.row_ptr, dtype=np.int64)
     m = mgt.rows
     deg = np.diff(rp)
-    dmax_tile = max(max_tile // S, 1)
+    # largest power-of-two degree class that fits the tile budget; rows
+    # above it go dense.  (Using max_tile//S directly leaves degrees in
+    # (last pow2, max_tile//S] unbinned when S is not a pow2 divisor.)
+    dmax = 1
+    while dmax * 2 <= max(max_tile // S, 1):
+        dmax *= 2
     bins = []
     d = 1
-    covered = np.zeros(m, dtype=bool)
-    while d <= dmax_tile:
+    while d <= dmax:
         lo = d // 2 + 1 if d > 1 else 1
         sel = np.nonzero((deg >= lo) & (deg <= d))[0]
         if sel.size:
@@ -76,9 +80,8 @@ def plan_rmcl_ell(mgt: CSR, S: int = 128, max_tile: int = 8192) -> RmclEllPlan:
             bins.append(
                 (int(d), sel.astype(np.int32), ent_src.reshape(-1).astype(np.int32))
             )
-            covered[sel] = True
         d *= 2
-    huge = np.nonzero((deg > dmax_tile))[0].astype(np.int32)
+    huge = np.nonzero((deg > dmax))[0].astype(np.int32)
     huge_src = (
         np.concatenate([np.arange(rp[r], rp[r + 1]) for r in huge]).astype(np.int32)
         if huge.size
@@ -152,6 +155,35 @@ def _prune_select_lanes(key, uval, n, S):
     return sc.astype(INDEX_DTYPE), sw.astype(QVALUE_DTYPE), truncated
 
 
+def _hub_dense_products(a_dense, cols, vals, n: int):
+    """C_hub = A_hub_dense · dense(iterate), in column slabs bounded to
+    ~1GB (shared by the single-chip and sharded steps)."""
+    S = cols.shape[1]
+    rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (n, S), 0)
+    slab = n
+    while n * slab * 4 > (1 << 30) and slab > 1024:
+        slab = -(-slab // 2)
+    parts = []
+    for s0 in range(0, n, slab):
+        loc = cols - s0
+        tgt = jnp.where((loc >= 0) & (loc < slab), loc, slab)
+        md = jnp.zeros((n, slab), QVALUE_DTYPE)
+        md = md.at[rix, tgt].add(vals, mode="drop")
+        parts.append(jnp.dot(a_dense, md, preferred_element_type=jnp.float32))
+    return jnp.concatenate(parts, axis=1)[:, :n]
+
+
+def _ell_drift_sq(old_c, old_v, new_c, new_v, n: int):
+    """(||new − old||_F², ||old||_F²) on merged sorted ELL rows (the
+    CSR::differs role; shared by both steps)."""
+    r = old_c.shape[0]
+    mc = jnp.concatenate([old_c, new_c], axis=1)
+    mv = jnp.concatenate([-old_v, new_v], axis=1)
+    key2, runs = _dedup_tile(mc, mv, n)
+    runs = jnp.where(key2 < n, runs, 0.0)
+    return jnp.sum(runs * runs), jnp.sum(old_v * old_v)
+
+
 def _dedup_tile(tc, tv, n: int):
     """Sort + duplicate-sum + compact one [R, W] product tile (the ESC
     core shared by the single-chip and sharded steps)."""
@@ -208,22 +240,8 @@ def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
         trunc_rows = trunc_rows + jnp.sum(truncated)
 
     if plan.huge_rows.size:
-        # hub rows: dense MXU matmul against the densified iterate,
-        # in column slabs so the dense iterate never exceeds ~1GB
-        rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (n, S), 0)
-        slab = n
-        while n * slab * 4 > (1 << 30) and slab > 1024:
-            slab = -(-slab // 2)
-        c_parts = []
-        for s0 in range(0, n, slab):
-            loc = mt_cols - s0
-            tgt = jnp.where((loc >= 0) & (loc < slab), loc, slab)
-            md = jnp.zeros((n, slab), QVALUE_DTYPE)
-            md = md.at[rix, tgt].add(mt_vals, mode="drop")
-            c_parts.append(
-                jnp.dot(a_dense_huge, md, preferred_element_type=jnp.float32)
-            )
-        c_h = jnp.concatenate(c_parts, axis=1)[:, :n]
+        # hub rows: dense MXU matmul against the densified iterate
+        c_h = _hub_dense_products(a_dense_huge, mt_cols, mt_vals, n)
         lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, c_h.shape, 1)
         key = jnp.where(c_h != 0, lanes, n)
         sc, sw, truncated = _prune_select_lanes(key, c_h, n, S)
@@ -234,24 +252,7 @@ def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
         trunc_rows = trunc_rows + jnp.sum(truncated)
 
     # convergence drift ||new - old||_F / ||old||_F on merged ELL rows
-    mc = jnp.concatenate([mt_cols, new_cols], axis=1)
-    mv = jnp.concatenate([-mt_vals, new_vals], axis=1)
-    mc, mv = jax.lax.sort((mc, mv), dimension=1, num_keys=1)
-    nxt = jnp.concatenate(
-        [mc[:, 1:], jnp.full((n, 1), n, INDEX_DTYPE)], axis=1
-    )
-    csum = jnp.cumsum(mv, axis=1)
-    last = (mc != nxt) & (mc < n)
-    # compaction sort makes run ends adjacent so csum differences are run
-    # totals (same trick as the ELL-ESC dedup)
-    key = jnp.where(last, mc, n)
-    key, csum = jax.lax.sort((key, csum), dimension=1, num_keys=1)
-    prev = jnp.concatenate(
-        [jnp.zeros((n, 1), QVALUE_DTYPE), csum[:, :-1]], axis=1
-    )
-    runs = jnp.where(key < n, csum - prev, 0.0)
-    d2 = jnp.sum(runs * runs)
-    n2 = jnp.sum(mt_vals * mt_vals)
+    d2, n2 = _ell_drift_sq(mt_cols, mt_vals, new_cols, new_vals, n)
     differs = jnp.sqrt(d2) / jnp.maximum(jnp.sqrt(n2), 1e-30)
 
     stats = {"nnz": nnz_out, "truncated_rows": trunc_rows, "differs": differs}

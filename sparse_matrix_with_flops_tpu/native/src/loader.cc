@@ -177,6 +177,15 @@ int smf_read_graph(const char* path, int is_trans, int32_t** out_row,
   // the swap in that case.
   if (is_trans && !ps.symmetric) std::swap(ps.row, ps.col);
 
+  // reject out-of-range ids (undercounting SNAP headers are common); the
+  // Python fallback then surfaces a clean error
+  for (int64_t i = 0; i < nnz; ++i) {
+    if (ps.row[i] < 0 || ps.row[i] >= ps.nrows || ps.col[i] < 0 ||
+        ps.col[i] >= ps.ncols) {
+      return -4;
+    }
+  }
+
   *out_row = static_cast<int32_t*>(malloc(sizeof(int32_t) * std::max<int64_t>(nnz, 1)));
   *out_col = static_cast<int32_t*>(malloc(sizeof(int32_t) * std::max<int64_t>(nnz, 1)));
   *out_val = static_cast<float*>(malloc(sizeof(float) * std::max<int64_t>(nnz, 1)));
@@ -196,6 +205,11 @@ int smf_read_graph(const char* path, int is_trans, int32_t** out_row,
 int smf_coo_to_csr(const int32_t* row, const int32_t* col, const float* val,
                    int64_t nnz, int64_t nrows, int32_t** out_rowptr,
                    int32_t** out_col, float** out_val, int64_t* out_nnz) {
+  // range-validate ids before building (a malformed edge list must fail
+  // cleanly, not corrupt the heap)
+  for (int64_t i = 0; i < nnz; ++i) {
+    if (row[i] < 0 || row[i] >= nrows || col[i] < 0) return -4;
+  }
   std::vector<int64_t> order(nnz);
   for (int64_t i = 0; i < nnz; ++i) order[i] = i;
   std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {

@@ -75,6 +75,7 @@ class EllPlan:
     out_cap: int
     row_bin: np.ndarray  # int32[rows]: bin id, -1 none, -2 huge
     row_slot: np.ndarray  # int32[rows]: slot in its bin / huge list
+    chunk: int = 128  # row-gather granularity this plan was built with
 
     __hash__ = object.__hash__
 
@@ -263,19 +264,17 @@ def plan_ell(
         out_cap=max(out_cap, 1),
         row_bin=row_bin,
         row_slot=row_slot,
+        chunk=int(chunk),
     )
 
 
 # ---------------------------------------------------------------------------
 # jitted pipeline (two phases: tiles+counts, then exact-size assembly)
 # ---------------------------------------------------------------------------
-_LAYOUTS: dict = {}
-
-
 def _flat_layout(plan: EllPlan):
     """Host-side flat region layout of all compacted tiles + the huge-row
-    stream (memoised per plan identity)."""
-    lay = _LAYOUTS.get(id(plan))
+    stream (memoised on the plan object itself)."""
+    lay = getattr(plan, "_layout_cache", None)
     if lay is not None:
         return lay
     base = 0
@@ -301,7 +300,7 @@ def _flat_layout(plan: EllPlan):
         "huge_start": huge_start,
         "flat_total": base,
     }
-    _LAYOUTS[id(plan)] = lay
+    object.__setattr__(plan, "_layout_cache", lay)
     return lay
 
 
@@ -433,6 +432,9 @@ def _tiles_impl(
                     b.values, mode="drop"
                 )
             )
+        # NOTE: densification cannot represent explicit zeros, so products
+        # that cancel to exactly 0.0 are dropped for huge rows (raw-equal
+        # semantics; the tile path keeps them).
         HC = 1024 if H > 1024 else H  # huge-row chunk
         hlens = np.diff(plan.huge_rp)
         hcounts = []
@@ -478,11 +480,14 @@ def _tiles_impl(
     )
     if fused_out_cap is not None:
         # single-dispatch mode: assembly fused into the same executable
-        # (the tunnel adds ~40ms launch latency per dispatch)
-        return _assemble_body(
+        # (the tunnel adds ~40ms launch latency per dispatch).  nnz(C) is
+        # returned alongside: the huge-row dense path makes counts
+        # value-dependent, so the cached cap must be re-validated.
+        csr = _assemble_body(
             flat_c, flat_v, counts, flat_base, ncols, fused_out_cap,
             use_pallas,
         )
+        return csr, jnp.sum(counts)
     return flat_c, flat_v, counts, flat_base
 
 
@@ -641,7 +646,7 @@ def spgemm_ell_tiled(a: CSR, b: CSR, plan: EllPlan | None = None):
     if plan is None:
         plan = plan_ell(a, b)
     flat_c, flat_v, counts, flat_base = _tiles_impl(
-        a, b, plan, CHUNK, _use_pallas_default()
+        a, b, plan, plan.chunk, _use_pallas_default()
     )
     return TiledCSR(flat_c, flat_v, counts, flat_base, plan.ncols)
 
@@ -665,10 +670,17 @@ def spgemm_ell(
     up = _use_pallas_default()
     cached = getattr(plan, "_nnzc_cache", None)
     if out_cap is None and exact and cached is not None:
-        # structure-determined nnz(C) known from a prior call: fuse both
-        # phases into one dispatch
-        return _tiles_impl(a, b, plan, CHUNK, up, fused_out_cap=cached)
-    flat_c, flat_v, counts, flat_base = _tiles_impl(a, b, plan, CHUNK, up)
+        # nnz(C) bucket known from a prior call: fuse both phases into one
+        # dispatch; if the true nnz exceeds the cached bucket (possible —
+        # the dense hub path drops exact-zero products, so counts are
+        # value-dependent), fall through to the two-phase exact path.
+        csr, nnzc = _tiles_impl(
+            a, b, plan, plan.chunk, up, fused_out_cap=cached
+        )
+        if int(nnzc) <= cached:
+            return csr
+        object.__setattr__(plan, "_nnzc_cache", None)
+    flat_c, flat_v, counts, flat_base = _tiles_impl(a, b, plan, plan.chunk, up)
     if out_cap is None and not exact:
         out_cap = plan.out_cap
     if out_cap is None and exact:
@@ -688,7 +700,9 @@ def spgemm_ell_symbolic(a: CSR, b: CSR, plan: EllPlan | None = None):
     parity with cpu_csr_kernel.h:63-102)."""
     if plan is None:
         plan = plan_ell(a, b)
-    _, counts, _ = _tiles_impl(a, b, plan, CHUNK, _use_pallas_default())
+    _, _, counts, _ = _tiles_impl(
+        a, b, plan, plan.chunk, _use_pallas_default()
+    )
     row_ptr = exclusive_cumsum(counts).astype(INDEX_DTYPE)
     return row_ptr, row_ptr[-1]
 

@@ -30,7 +30,13 @@ from jax.sharding import PartitionSpec as P
 
 from ..config import INDEX_DTYPE, QVALUE_DTYPE
 from ..formats.csr import CSR
-from ..models.rmcl_ell import _dedup_tile, _prune_select_lanes, _pow2ceil
+from ..models.rmcl_ell import (
+    _dedup_tile,
+    _ell_drift_sq,
+    _hub_dense_products,
+    _pow2ceil,
+    _prune_select_lanes,
+)
 from .mesh import ROW_AXIS
 from .sharded import ShardedCSR, shard_csr
 
@@ -56,7 +62,10 @@ def plan_sharded_rmcl_ell(
     """
     smgt = shard_csr(mgt, num_shards)
     lr = smgt.local_rows
-    dmax = max(max_tile // S, 1)
+    # largest pow2 degree class in budget (see models/rmcl_ell.plan_rmcl_ell)
+    dmax = 1
+    while dmax * 2 <= max(max_tile // S, 1):
+        dmax *= 2
 
     per_shard = []
     classes = []
@@ -157,20 +166,7 @@ def _local_step(plan, a_rp, a_ci, a_v, row_ids, ent_src, huge_rows, a_dense,
         trunc = trunc + jnp.sum(jnp.where(ok, truncated, False))
 
     if plan.hmax:
-        rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (n, S), 0)
-        slab = n
-        while n * slab * 4 > (1 << 30) and slab > 1024:
-            slab = -(-slab // 2)
-        c_parts = []
-        for s0 in range(0, n, slab):
-            loc = g_cols - s0
-            tgt = jnp.where((loc >= 0) & (loc < slab), loc, slab)
-            md = jnp.zeros((n, slab), QVALUE_DTYPE)
-            md = md.at[rix, tgt].add(g_vals, mode="drop")
-            c_parts.append(
-                jnp.dot(a_dense, md, preferred_element_type=jnp.float32)
-            )
-        c_h = jnp.concatenate(c_parts, axis=1)[:, :n]
+        c_h = _hub_dense_products(a_dense, g_cols, g_vals, n)
         lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, c_h.shape, 1)
         key = jnp.where(c_h != 0, lanes, n)
         sc, sw, truncated = _prune_select_lanes(key, c_h, n, S)
@@ -216,22 +212,9 @@ def sharded_rmcl_ell_scan(
                 g_v,
             )
             # convergence: local diff via merged rows, psum'd
-            mc = jnp.concatenate([lc[0], nc], axis=1)
-            mv = jnp.concatenate([-lv[0], nv], axis=1)
-            mc, mv = jax.lax.sort((mc, mv), dimension=1, num_keys=1)
-            csum = jnp.cumsum(mv, axis=1)
-            nxt = jnp.concatenate(
-                [mc[:, 1:], jnp.full((lr, 1), n, INDEX_DTYPE)], axis=1
-            )
-            last = (mc != nxt) & (mc < n)
-            key = jnp.where(last, mc, n)
-            key, csum = jax.lax.sort((key, csum), dimension=1, num_keys=1)
-            prev = jnp.concatenate(
-                [jnp.zeros((lr, 1), QVALUE_DTYPE), csum[:, :-1]], axis=1
-            )
-            runs = jnp.where(key < n, csum - prev, 0.0)
-            d2 = jax.lax.psum(jnp.sum(runs * runs), axis)
-            n2 = jax.lax.psum(jnp.sum(lv[0] * lv[0]), axis)
+            ld2, ln2 = _ell_drift_sq(lc[0], lv[0], nc, nv, n)
+            d2 = jax.lax.psum(ld2, axis)
+            n2 = jax.lax.psum(ln2, axis)
             stats = {
                 "nnz": jax.lax.psum(nnz, axis),
                 "truncated_rows": jax.lax.psum(trunc, axis),

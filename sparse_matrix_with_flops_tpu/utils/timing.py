@@ -31,6 +31,9 @@ class Profiler:
 
     @contextlib.contextmanager
     def span(self, name: str, block_on=None):
+        # NOTE: block_on is evaluated at entry, so it can only synchronise
+        # on arrays that exist BEFORE the span; block inside the span for
+        # arrays produced by it (XLA dispatch is asynchronous).
         if not self.enabled:
             yield
             return

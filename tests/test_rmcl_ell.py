@@ -86,3 +86,38 @@ def test_selection_cap_truncates():
     got, hist = rmcl_ell(mt0, max_iters=2, S=2)
     rowsums = np.asarray(got.to_dense()).sum(axis=1)
     np.testing.assert_allclose(rowsums, 1.0, atol=1e-5)
+
+
+def test_plan_no_degree_gap(rng):
+    # regression: S not a pow2 divisor of max_tile must not leave degrees
+    # unbinned (they were neither binned nor huge -> silently empty rows)
+    n = 128
+    mask = rng.random((n, n)) < 0.6  # rows with degree ~77 > last pow2 bin
+    np.fill_diagonal(mask, True)
+    dense = np.where(mask, 1.0, 0.0).astype(np.float32)
+    mt0 = CSR.from_dense(dense).aver_and_norm_rows()
+    plan = plan_rmcl_ell(mt0, S=96, max_tile=8192)  # dmax_tile=85 -> dmax=64
+    deg = np.diff(np.asarray(mt0.row_ptr))
+    covered = set()
+    for d, rows, _ in plan.bins:
+        covered.update(rows.tolist())
+    covered.update(plan.huge_rows.tolist())
+    assert covered == set(np.nonzero(deg > 0)[0].tolist())
+
+
+def test_symbolic_api_works(rng):
+    from sparse_matrix_with_flops_tpu.ops.ell_esc import (
+        plan_ell,
+        spgemm_ell_symbolic,
+    )
+    from sparse_matrix_with_flops_tpu.ops.spgemm import spgemm_dense_oracle
+
+    a = CSR.from_dense(
+        np.where(rng.random((24, 24)) < 0.2, 1.0, 0.0).astype(np.float32)
+    )
+    rp, nnz = spgemm_ell_symbolic(a, a, plan_ell(a, a, chunk=8, max_w=64))
+    want = spgemm_dense_oracle(a, a)
+    assert int(nnz) == int(want.nnz)
+    np.testing.assert_array_equal(
+        np.asarray(rp), np.asarray(want.row_ptr)
+    )
