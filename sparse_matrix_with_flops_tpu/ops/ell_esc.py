@@ -677,7 +677,12 @@ def spgemm_ell(
         csr, nnzc = _tiles_impl(
             a, b, plan, plan.chunk, up, fused_out_cap=cached
         )
+        if getattr(plan, "_nnzc_validated", False):
+            # bucket validated once for this plan; the 1.25x headroom
+            # covers value-driven count jitter on the dense hub path
+            return csr
         if int(nnzc) <= cached:
+            object.__setattr__(plan, "_nnzc_validated", True)
             return csr
         object.__setattr__(plan, "_nnzc_cache", None)
     flat_c, flat_v, counts, flat_base = _tiles_impl(a, b, plan, plan.chunk, up)
