@@ -160,8 +160,10 @@ def _hub_dense_products(a_dense, cols, vals, n: int):
     ~1GB (shared by the single-chip and sharded steps)."""
     S = cols.shape[1]
     rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (n, S), 0)
+    # each slab pays a full n*S-update scatter of the iterate, so fewer,
+    # bigger slabs win: budget ~3GB for the dense slab
     slab = n
-    while n * slab * 4 > (1 << 30) and slab > 1024:
+    while n * slab * 4 > (3 << 30) and slab > 1024:
         slab = -(-slab // 2)
     parts = []
     for s0 in range(0, n, slab):
