@@ -181,3 +181,25 @@ class TestMetrics:
         a = CSR.from_dense(da)
         h = np.asarray(row_growth_histogram(a, a))
         assert h.sum() == 9
+
+
+def test_cluster_extraction():
+    import numpy as np
+
+    from sparse_matrix_with_flops_tpu.formats.csr import CSR
+    from sparse_matrix_with_flops_tpu.io import load_coo
+    from sparse_matrix_with_flops_tpu.models.clusters import (
+        cluster_sizes,
+        extract_clusters,
+    )
+    from sparse_matrix_with_flops_tpu.models.rmcl import rmcl, rmcl_init
+
+    # tdata.snap converges to {0,1,2} and two absorbing sets
+    graph = load_coo("tests/tdatas/tdata.snap", extra_capacity=16)
+    res = rmcl(rmcl_init(graph), max_iters=8, mode="loop")
+    labels = extract_clusters(res.mt)
+    # nodes linked in the converged support share labels
+    assert labels[4] == labels[5]
+    assert labels[1] == labels[2]
+    sizes = cluster_sizes(labels)
+    assert sum(sizes.values()) == 6
