@@ -51,11 +51,14 @@ class RmclEllPlan:
     huge_rows: np.ndarray  # degrees > max tile
     huge_src: np.ndarray  # entry indices of huge rows (concatenated)
     huge_lens: np.ndarray
+    hub_precision: str = "f32"  # "bf16" = single whole-width densify
 
     __hash__ = object.__hash__
 
 
-def plan_rmcl_ell(mgt: CSR, S: int = 128, max_tile: int = 8192) -> RmclEllPlan:
+def plan_rmcl_ell(
+    mgt: CSR, S: int = 128, max_tile: int = 8192, hub_precision: str = "f32"
+) -> RmclEllPlan:
     """Bin Mgt rows by degree class; ent_src holds each row's A-entry ids
     (sentinel -1 padding)."""
     rp = np.asarray(mgt.row_ptr, dtype=np.int64)
@@ -95,6 +98,7 @@ def plan_rmcl_ell(mgt: CSR, S: int = 128, max_tile: int = 8192) -> RmclEllPlan:
         huge_rows=huge,
         huge_src=huge_src,
         huge_lens=huge_lens,
+        hub_precision=hub_precision,
     )
 
 
@@ -155,13 +159,26 @@ def _prune_select_lanes(key, uval, n, S):
     return sc.astype(INDEX_DTYPE), sw.astype(QVALUE_DTYPE), truncated
 
 
-def _hub_dense_products(a_dense, cols, vals, n: int):
-    """C_hub = A_hub_dense · dense(iterate), in column slabs bounded to
-    ~1GB (shared by the single-chip and sharded steps)."""
+def _hub_dense_products(a_dense, cols, vals, n: int, precision: str = "f32"):
+    """C_hub = A_hub_dense · dense(iterate) (shared by the single-chip and
+    sharded steps).
+
+    ``precision="f32"``: f32 column slabs bounded to ~3GB — exact, but each
+    slab pays a full n*S-update scatter of the iterate.
+    ``precision="bf16"``: ONE whole-width bf16 densification + bf16 MXU
+    matmul with f32 accumulation — ~slabs× fewer scatter updates and half
+    the bytes; hub-row values carry ~3 significant digits (the prune
+    threshold math tolerates it; enable for large n).
+    """
     S = cols.shape[1]
     rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (n, S), 0)
-    # each slab pays a full n*S-update scatter of the iterate, so fewer,
-    # bigger slabs win: budget ~3GB for the dense slab
+    if precision == "bf16":
+        md = jnp.zeros((n, n), jnp.bfloat16)
+        md = md.at[rix, cols].add(vals.astype(jnp.bfloat16), mode="drop")
+        return jnp.dot(
+            a_dense.astype(jnp.bfloat16), md, preferred_element_type=jnp.float32
+        )
+    # fewer, bigger slabs win: budget ~3GB for the dense slab
     slab = n
     while n * slab * 4 > (3 << 30) and slab > 1024:
         slab = -(-slab // 2)
@@ -243,7 +260,9 @@ def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
 
     if plan.huge_rows.size:
         # hub rows: dense MXU matmul against the densified iterate
-        c_h = _hub_dense_products(a_dense_huge, mt_cols, mt_vals, n)
+        c_h = _hub_dense_products(
+            a_dense_huge, mt_cols, mt_vals, n, plan.hub_precision
+        )
         lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, c_h.shape, 1)
         key = jnp.where(c_h != 0, lanes, n)
         sc, sw, truncated = _prune_select_lanes(key, c_h, n, S)
@@ -296,6 +315,7 @@ def rmcl_ell(
     max_iters: int = 5,
     S: int = 128,
     max_tile: int = 8192,
+    hub_precision: str = "f32",
 ):
     """End-to-end static fused R-MCL (the fast path of models.rmcl.rmcl).
 
@@ -306,7 +326,9 @@ def rmcl_ell(
     from ..formats.coo import COO
 
     mt0 = rmcl_init(graph) if isinstance(graph, COO) else graph
-    plan = plan_rmcl_ell(mt0, S=S, max_tile=max_tile)
+    plan = plan_rmcl_ell(
+        mt0, S=S, max_tile=max_tile, hub_precision=hub_precision
+    )
     cols, vals = mt_to_ell(mt0, S)
     a_d = _dense_huge(mt0, plan)
     cols, vals, hist = rmcl_ell_scan(plan, mt0, a_d, cols, vals, max_iters)

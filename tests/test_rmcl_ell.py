@@ -121,3 +121,19 @@ def test_symbolic_api_works(rng):
     np.testing.assert_array_equal(
         np.asarray(rp), np.asarray(want.row_ptr)
     )
+
+
+def test_hub_bf16_close_to_f32(rng):
+    n = 32
+    mask = rng.random((n, n)) < 0.15
+    np.fill_diagonal(mask, True)
+    mask[3, :] = True  # hub
+    dense = np.where(mask, 1.0, 0.0).astype(np.float32)
+    mt0 = CSR.from_dense(dense).aver_and_norm_rows()
+    f32, _ = rmcl_ell(mt0, max_iters=2, S=32, max_tile=32 * 8)
+    b16, _ = rmcl_ell(
+        mt0, max_iters=2, S=32, max_tile=32 * 8, hub_precision="bf16"
+    )
+    a = np.asarray(f32.to_dense())
+    b = np.asarray(b16.to_dense())
+    assert np.allclose(a, b, rtol=0.05, atol=0.02)
