@@ -81,7 +81,7 @@ def main(argv=None) -> int:
         for s in [int(x) for x in args.scales.split(",")]:
             jobs.append((f"rmat_s{s}", rmat_csr(s, edge_factor=8, seed=7)))
         if args.banded:
-            jobs.append(("banded_32k_b32", banded_csr(32768, bandwidth=32)))
+            jobs.append(("banded_8k_b32", banded_csr(8192, bandwidth=32)))
 
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
