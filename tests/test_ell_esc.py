@@ -202,3 +202,36 @@ def test_assembly_pallas_align_path(rng, monkeypatch):
             want._drop_explicit_zeros(), tol=1e-4
         )
     )
+
+
+def test_ell_esc_empty_matrix():
+    a = CSR.from_arrays(np.zeros(9, np.int32), [], [], ncols=8)
+    got = spgemm_ell(a, a)
+    assert int(got.nnz) == 0
+
+
+def test_ell_esc_rectangular_chain(rng):
+    # m x k times k x n with all dims distinct
+    a = _random_csr(rng, 24, 40, 0.2)
+    b = _random_csr(rng, 40, 16, 0.25)
+    got = spgemm_ell(a, b, plan_ell(a, b, chunk=8, max_w=64))
+    want = spgemm_dense_oracle(a, b)
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-4
+        )
+    )
+
+
+def test_ell_esc_single_entry():
+    dense = np.zeros((8, 8), np.float32)
+    dense[2, 5] = 3.0
+    dense[5, 1] = 2.0
+    a = CSR.from_dense(dense)
+    got = spgemm_ell(a, a, plan_ell(a, a, chunk=4, max_w=16))
+    want = spgemm_dense_oracle(a, a)
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-6
+        )
+    )

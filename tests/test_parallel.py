@@ -107,3 +107,25 @@ def test_sharded_rmcl_step_reports_differs(rng):
     new_mt, stats = sharded_rmcl_step(mesh, sa, sa, pc, pc)
     assert float(stats["differs"]) > 0.0
     assert int(stats["nnz_mt"]) > 0
+
+
+def test_sharded_spgemm_uneven_rows(rng):
+    # rows not divisible by the mesh size (padding rows on the last shard)
+    mesh = make_mesh(8)
+    a = _random_csr(rng, 43, 43, 0.18)
+    b = _random_csr(rng, 43, 37, 0.2)
+    ref = matmul(a, b).make_ordered()
+    flops, _ = spgemm_upper_bounds(a, b)
+    per = max(flops, 16)
+    c, info = sharded_spgemm(mesh, shard_csr(a, 8), shard_csr(b, 8), per, per)
+    got = unshard_csr(c)._drop_explicit_zeros()
+    assert bool(got.is_raw_equal(ref._drop_explicit_zeros(), tol=1e-5))
+
+
+def test_sharded_rmcl_single_device_mesh(rng):
+    # D=1 degenerate mesh must equal the single-chip path
+    mesh = make_mesh(1)
+    a = _random_csr(rng, 16, 16, 0.4).aver_and_norm_rows()
+    sa = shard_csr(a, 1, local_capacity=a.capacity * 4)
+    new_mt, stats = sharded_rmcl_step(mesh, sa, sa, 2048, 2048)
+    assert int(stats["nnz_mt"]) > 0
