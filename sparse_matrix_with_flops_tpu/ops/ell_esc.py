@@ -366,7 +366,7 @@ def _tiles_impl(
         aval = jnp.take(a.values, jnp.asarray(tile_ent))[:, None]
         tc = jnp.take(prod_c, src, axis=0).reshape(-1, W)  # row gather
         tv = (jnp.take(prod_v, src, axis=0) * aval).reshape(-1, W)
-        if use_pallas and W <= 2048:
+        if use_pallas:
             from .pallas_sort import sort_dedup_compact
 
             rpadded = -(-tc.shape[0] // 8) * 8

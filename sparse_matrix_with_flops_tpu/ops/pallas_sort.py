@@ -24,17 +24,49 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_esc import _bitonic_sort_lanes, _roll, _run_sums
 
 
+def _bitonic_sort_packed(key, val, width: int):
+    """Bitonic sort with key+val stacked into one (2R, W) tile so each
+    compare-exchange issues 2 rolls instead of 4 (roll bytes are the same;
+    instruction count halves)."""
+    r = key.shape[0]
+    x = jnp.concatenate(
+        [key, pltpu.bitcast(val, jnp.int32)], axis=0
+    )  # (2R, W)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 2
+    while k <= width:
+        j = k // 2
+        while j >= 1:
+            is_lo = (lane & j) == 0
+            p = jnp.where(
+                is_lo, _roll(x, -j, width), _roll(x, j, width)
+            )
+            kk = x[:r]
+            pk = p[:r]
+            asc = (lane[:r] & k) == 0
+            is_lo_k = is_lo[:r]
+            lo_k = jnp.where(is_lo_k, kk, pk)
+            hi_k = jnp.where(is_lo_k, pk, kk)
+            do_swap = (asc & (lo_k > hi_k)) | (~asc & (lo_k < hi_k))
+            x = jnp.where(
+                jnp.concatenate([do_swap, do_swap], axis=0), p, x
+            )
+            j //= 2
+        k *= 2
+    return x[:r], pltpu.bitcast(x[r:], jnp.float32)
+
+
 def _sdc_kernel(tc_ref, tv_ref, kout_ref, vout_ref, *, W: int, ncols: int):
     col = tc_ref[:]
     val = tv_ref[:]
-    col, val = _bitonic_sort_lanes(col, val, W)
+    col, val = _bitonic_sort_packed(col, val, W)
     val = _run_sums(col, val, W)
     lane = jax.lax.broadcasted_iota(jnp.int32, col.shape, 1)
     nxt = _roll(col, -1, W)
     is_last = (col != nxt) | (lane == W - 1)
     keep = is_last & (col < ncols)
     key2 = jnp.where(keep, col, ncols)
-    key2, val2 = _bitonic_sort_lanes(key2, val, W)
+    key2, val2 = _bitonic_sort_packed(key2, val, W)
     kout_ref[:] = key2
     vout_ref[:] = jnp.where(key2 < ncols, val2, 0.0)
 
