@@ -21,6 +21,11 @@ _TRIED = False
 
 
 def _build_lib(src: str, out: str) -> bool:
+    # Compile to a process-unique path and publish atomically: the
+    # in-process lock cannot stop a SECOND process (parallel pytest,
+    # multi-host launch) from racing g++ on the same -o target, and a
+    # partially written .so must never be dlopen-able.
+    tmp = f"{out}.{os.getpid()}.tmp"
     cmd = [
         "g++",
         "-O3",
@@ -29,13 +34,18 @@ def _build_lib(src: str, out: str) -> bool:
         "-shared",
         "-fPIC",
         "-o",
-        out,
+        tmp,
         src,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -64,8 +64,10 @@ def rmcl_resumable(
 
     mgt = rmcl_init(graph) if isinstance(graph, COO) else graph
     start = 0
+    overflow = False
     if os.path.exists(checkpoint_path):
-        mt, start, _ = load_checkpoint(checkpoint_path)
+        mt, start, extra = load_checkpoint(checkpoint_path)
+        overflow = bool(extra.get("overflow", False))
     else:
         mt = mgt.deep_copy()
 
@@ -78,6 +80,21 @@ def rmcl_resumable(
         mt = CSR(new_mt.row_ptr, new_mt.col_ind, new_mt.values, new_mt.ncols)
         start += 1
         nnz_hist.append(int(info["nnz_mt"]))
+        # undersized capacities truncate the iterate — the moral
+        # equivalent of qmalloc's exit-on-OOM; track like rmcl() does and
+        # persist so a resumed run cannot lose the signal
+        overflow |= bool(
+            info["overflow_products"]
+            | info["overflow_c"]
+            | info["overflow_mt"]
+        )
         if start % checkpoint_every == 0 or start == max_iters:
-            save_checkpoint(checkpoint_path, mt, start)
+            save_checkpoint(
+                checkpoint_path, mt, start, extra={"overflow": overflow}
+            )
+    if overflow and kwargs.get("raise_on_overflow", True):
+        raise RuntimeError(
+            "rmcl_resumable: capacity overflow during iteration — the "
+            "iterate was truncated; rerun with a larger margin"
+        )
     return mt, start, nnz_hist

@@ -671,20 +671,31 @@ def spgemm_ell(
     cached = getattr(plan, "_nnzc_cache", None)
     if out_cap is None and exact and cached is not None:
         # nnz(C) bucket known from a prior call: fuse both phases into one
-        # dispatch; if the true nnz exceeds the cached bucket (possible —
-        # the dense hub path drops exact-zero products, so counts are
-        # value-dependent), fall through to the two-phase exact path.
-        csr, nnzc = _tiles_impl(
-            a, b, plan, plan.chunk, up, fused_out_cap=cached
+        # dispatch.  Counts are value-dependent (the dense hub path drops
+        # exact-zero products), so the bucket is validated ONE CALL BEHIND:
+        # each fused call returns its nnz(C) device scalar, and the next
+        # call reads it (already materialized — no extra device sync on
+        # the producing dispatch) before trusting the bucket again.
+        prev = getattr(plan, "_nnzc_pending", None)
+        if prev is None or int(prev) <= cached:
+            csr, nnzc = _tiles_impl(
+                a, b, plan, plan.chunk, up, fused_out_cap=cached
+            )
+            object.__setattr__(plan, "_nnzc_pending", nnzc)
+            return csr
+        # the PREVIOUS fused call overflowed its bucket (its trailing rows
+        # were truncated): drop the cache and re-derive exactly.
+        import warnings
+
+        warnings.warn(
+            "spgemm_ell: fused nnz(C) bucket overflowed on the previous "
+            f"call (nnzc={int(prev)} > cap={cached}); its output was "
+            "truncated. Re-deriving the capacity two-phase.",
+            RuntimeWarning,
+            stacklevel=2,
         )
-        if getattr(plan, "_nnzc_validated", False):
-            # bucket validated once for this plan; the 1.25x headroom
-            # covers value-driven count jitter on the dense hub path
-            return csr
-        if int(nnzc) <= cached:
-            object.__setattr__(plan, "_nnzc_validated", True)
-            return csr
         object.__setattr__(plan, "_nnzc_cache", None)
+        object.__setattr__(plan, "_nnzc_pending", None)
     flat_c, flat_v, counts, flat_base = _tiles_impl(a, b, plan, plan.chunk, up)
     if out_cap is None and not exact:
         out_cap = plan.out_cap

@@ -15,17 +15,42 @@ ICI neighbours.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 ROW_AXIS = "x"
 
+# Environment markers of a multi-process launch.  Querying
+# jax.process_count() would initialize the LOCAL backend and permanently
+# foreclose jax.distributed.initialize(), so cluster detection must be
+# env-only (pre-init).
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+)
+
 
 def init_distributed(**kwargs) -> None:
-    """Multi-host bring-up (no-op on a single process)."""
-    if jax.process_count() > 1 or kwargs:
+    """Multi-host bring-up (no-op when no cluster environment is present).
+
+    With explicit kwargs, initializes unconditionally.  With none, probes
+    the environment for a coordinator/cluster marker and initializes only
+    if one is found — never touching the local backend first, so the
+    no-kwargs path works on real multi-host launches.
+    """
+    if kwargs:
         jax.distributed.initialize(**kwargs)
+        return
+    if any(os.environ.get(v) for v in _CLUSTER_ENV_VARS) or (
+        int(os.environ.get("SLURM_NTASKS", "1")) > 1
+        and os.environ.get("SLURM_JOB_ID")
+    ):
+        jax.distributed.initialize()
 
 
 def make_mesh(n_devices: int | None = None, axis: str = ROW_AXIS) -> Mesh:

@@ -148,11 +148,22 @@ def flops_balanced_permutation(row_flops: np.ndarray, num_shards: int) -> np.nda
     perm[i]; apply with ``CSR.permute_rows(perm)`` before :func:`shard_csr`.
     """
     rows = row_flops.shape[0]
-    lr = -(-rows // num_shards)
+    d = num_shards
+    lr = -(-rows // d)
     order = np.argsort(-np.asarray(row_flops, dtype=np.int64), kind="stable")
-    pad = np.full(num_shards * lr - rows, -1, dtype=np.int64)
-    dealt = np.concatenate([order, pad]).reshape(lr, num_shards)
-    dealt[1::2] = dealt[1::2, ::-1]  # snake to cancel systematic skew
-    perm_2d = dealt.T  # [num_shards, lr]
-    perm = perm_2d.reshape(-1)
+    # shard_csr appends the D*lr - rows empty padding rows at the GLOBAL
+    # tail, so shard k must receive exactly min(lr, rows - k*lr) real rows
+    # — the "hole" slots live at the end of the trailing shards' buckets.
+    # Deal real rows boustrophedon over the remaining (valid) slots only;
+    # a naive deal-then-compact would shift rows across shard boundaries
+    # whenever rows % D != 0.
+    sizes = np.clip(rows - np.arange(d, dtype=np.int64) * lr, 0, lr)
+    valid = np.arange(lr)[:, None] < sizes[None, :]  # [round, shard]
+    cols2d = np.tile(np.arange(d), (lr, 1))
+    cols2d[1::2] = cols2d[1::2, ::-1]  # snake to cancel systematic skew
+    flatpos = (np.repeat(np.arange(lr), d) * d + cols2d.reshape(-1))
+    sel = flatpos[valid.reshape(-1)[flatpos]]  # valid slots, snake order
+    grid = np.full(lr * d, -1, dtype=np.int64)
+    grid[sel] = order
+    perm = grid.reshape(lr, d).T.reshape(-1)
     return perm[perm >= 0].astype(np.int32)
