@@ -245,9 +245,17 @@ class CSR:
 
     def row_descending_order_permutation(self) -> jax.Array:
         """Permutation sorting rows by descending nnz
-        (CSR::rowDescendingOrderPermutation, CSR.cc:484-494)."""
+        (CSR::rowDescendingOrderPermutation, CSR.cc:484-494, via the
+        paired key/value sort exactly as the reference uses
+        key_value_qsort with greaterThanFunction)."""
+        from ..ops.segments import key_value_sort
+
         counts = self.row_counts()
-        order = jnp.argsort(-counts, stable=True)
+        _, order = key_value_sort(
+            counts,
+            jnp.arange(self.rows, dtype=INDEX_DTYPE),
+            descending=True,
+        )
         return order.astype(INDEX_DTYPE)
 
     # ---- comparators (CSR.h:195-321) ------------------------------------------------

@@ -59,11 +59,64 @@ def read_snap(
     else:
         nrows, ncols, nnz = int(header[0]), int(header[1]), int(header[2])
 
+    base = 1 if is_mtx else 0
+
+    # Fast vectorized body parse when every line has the same token count
+    # (the overwhelmingly common case): one fromstring over the joined
+    # body instead of a per-line Python loop.
+    body = lines[i : i + nnz]
+    ntok = len(body[0].split()) if body else 0
+    if nnz and ntok in (2, 3):
+        import warnings
+
+        with warnings.catch_warnings():
+            # np.fromstring(sep=...) is soft-deprecated but is the only
+            # zero-copy C-speed text parser in numpy; fall back on the
+            # slow path if it ever goes away (returns wrong-size array).
+            warnings.simplefilter("ignore", DeprecationWarning)
+            flat = np.fromstring(" ".join(body), sep=" ")
+        if flat.shape[0] == nnz * ntok:
+            tok = flat.reshape(nnz, ntok)
+            frm = tok[:, 0].astype(np.int32) - base
+            to = tok[:, 1].astype(np.int32) - base
+            val = (
+                tok[:, 2].astype(np.float32)
+                if ntok == 3
+                else np.ones(nnz, np.float32)
+            )
+            if symmetric:
+                off = frm != to
+                rows = np.concatenate([frm, to[off]])
+                cols = np.concatenate([to, frm[off]])
+                vals = np.concatenate([val, val[off]])
+            elif is_trans:
+                rows, cols, vals = to, frm, val
+            else:
+                rows, cols, vals = frm, to, val
+            return (
+                rows.astype(np.int32),
+                cols.astype(np.int32),
+                vals.astype(np.float32),
+                nrows,
+                ncols,
+            )
+
+    if nnz > 1_000_000:
+        import warnings
+
+        warnings.warn(
+            f"read_snap: falling back to the per-line Python parser for "
+            f"{nnz} entries (mixed token counts?) — this is O(nnz) Python "
+            "and may take minutes; prefer the native loader "
+            "(io.native.read_graph_native).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
     rows = np.empty(2 * nnz if symmetric else nnz, dtype=np.int32)
     cols = np.empty_like(rows)
     vals = np.empty(rows.shape[0], dtype=np.float32)
     top = 0
-    base = 1 if is_mtx else 0
     for k in range(nnz):
         toks = lines[i + k].split()
         frm = int(toks[0]) - base

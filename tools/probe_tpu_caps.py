@@ -133,3 +133,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# NOTE: two follow-up probe rounds (sort-envelope sweep, gather width
+# sweep) once lived in probe_tpu_caps2/3.py; their conclusions are folded
+# into docs/ROUND1_NOTES.md and the memory notes driving ops/ell_esc.py.
+# probe_dma2.py supersedes them with slope-based timing (the tunnel's
+# block_until_ready is not a reliable completion signal).
