@@ -19,6 +19,12 @@ from .args import build_parser
 
 def main(argv=None) -> int:
     p = build_parser("matrix stats (analysis.x / bin_analysis.x parity)")
+    p.add_argument(
+        "--bins",
+        action="store_true",
+        help="per-flops-bin B-row-size histograms "
+        "(mindex2-cuda/analysis.cu:35-110 parity)",
+    )
     args = p.parse_args(argv)
     coo = load_coo(args.input, is_trans=False)
     a = coo.sum_duplicates().to_csr()
@@ -39,6 +45,22 @@ def main(argv=None) -> int:
     hist, _ = flops_stats(a, a)
     print_stats(np.asarray(hist), "row flops histogram")
     print_stats(np.asarray(nnz_stats(c)), "C row nnz histogram")
+
+    if args.bins:
+        from ..ops.bincheck import classify_flops_queues, per_bin_b_row_histogram
+
+        _, hv = classify_flops_queues(a, a)
+        per_bin = per_bin_b_row_histogram(a, a)
+        for q in range(per_bin.shape[0]):
+            if hv[q + 1] == hv[q]:
+                continue
+            print(
+                f"Binwise distribution of per element for bin {q} "
+                f"({hv[q + 1] - hv[q]} rows)"
+            )
+            for k, cnt in enumerate(per_bin[q]):
+                if cnt:
+                    print(f"count {k} : {cnt}")
     return 0
 
 
