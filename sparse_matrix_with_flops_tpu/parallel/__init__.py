@@ -7,8 +7,13 @@ from .sharded import (
     shard_csr,
     unshard_csr,
 )
-from .spgemm import sharded_spgemm
-from .rmcl import plan_shard_capacities, sharded_rmcl_scan, sharded_rmcl_step
+from .spgemm import sharded_spgemm, sharded_spgemm_ring
+from .rmcl import (
+    plan_shard_capacities,
+    sharded_rmcl_adaptive,
+    sharded_rmcl_scan,
+    sharded_rmcl_step,
+)
 
 __all__ = [
     "ROW_AXIS",
@@ -21,7 +26,9 @@ __all__ = [
     "shard_csr",
     "unshard_csr",
     "sharded_spgemm",
+    "sharded_spgemm_ring",
     "plan_shard_capacities",
+    "sharded_rmcl_adaptive",
     "sharded_rmcl_scan",
     "sharded_rmcl_step",
 ]

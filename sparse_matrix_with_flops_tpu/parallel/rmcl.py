@@ -164,3 +164,97 @@ def plan_shard_capacities(
     per = int(np.ceil(mt_global_flops / d * margin))
     per = max(per, 16)
     return per, per
+
+
+# HYB adaptive trigger (hybrid_omp_csr_kernel.cc:14): re-balance while the
+# iterate still changes more than alpha per iteration.
+REBALANCE_ALPHA = 0.008
+
+
+def sharded_rmcl_adaptive(
+    mt0: CSR,
+    mesh,
+    max_iters: int,
+    alpha: float = REBALANCE_ALPHA,
+    spread_threshold: float = 0.10,
+    margin: float = 2.0,
+    axis: str = ROW_AXIS,
+):
+    """Distributed R-MCL with flops-driven repartitioning BETWEEN
+    iterations — the HYB adaptive strategy
+    (hybrid_omp_csr_kernel.cc:14-34,67-74) lifted to the mesh.
+
+    Each iteration the host re-estimates per-row flops of the NEXT
+    multiply (row_flops is one gather+segment-sum); while the iterate is
+    still changing (``differs > alpha``, the reference's trigger) and the
+    current layout's per-shard flops spread exceeds
+    ``spread_threshold``, rows are re-dealt with the flops-balanced snake
+    permutation and both operands conjugately relabelled (P·M·Pᵗ keeps
+    the iteration isomorphic), then re-sharded — the re-permute+reshard
+    realisation of the blueprint's all_to_all repartition.  Once the
+    iterate settles, the layout freezes (like HYB reusing ``ends[]``).
+
+    This is the dynamic-mode driver: it pays one host round-trip per
+    iteration (like models.rmcl mode="loop"); the static
+    `rmcl_ell.sharded_rmcl_ell` keeps a fixed structure where one up-front
+    balance suffices.  Returns (final CSR in the ORIGINAL labelling,
+    history dict).
+    """
+    from ..ops.flops import row_flops
+    from ..utils.perm import permutation_transpose
+    from .sharded import flops_balanced_permutation, shard_csr, unshard_csr
+
+    d = int(mesh.devices.size)
+    n = mt0.rows
+    lr = -(-n // d)
+    mgt = mt0.deep_copy()
+    mt = mt0
+
+    def spread_of(rf: np.ndarray) -> float:
+        padded = np.concatenate([rf, np.zeros(d * lr - n, rf.dtype)])
+        per = padded.reshape(d, lr).sum(axis=1)
+        return float((per.max() - per.min()) / max(per.mean(), 1.0))
+
+    perm_total = np.arange(n, dtype=np.int32)
+    prev_differs = np.inf
+    hist = {
+        "differs": [],
+        "nnz": [],
+        "spread_before": [],
+        "spread_after": [],
+        "rebalanced": [],
+        "overflow": [],
+    }
+    for it in range(max_iters):
+        rf = np.asarray(row_flops(mgt, mt), dtype=np.int64)
+        sp0 = spread_of(rf)
+        rebal = it == 0 or (
+            prev_differs > alpha and sp0 > spread_threshold
+        )
+        if rebal:
+            perm = flops_balanced_permutation(rf, d)
+            pj = jnp.asarray(perm)
+            mgt = mgt.conjugate_permute(pj)
+            mt = mt.conjugate_permute(pj)
+            perm_total = perm_total[perm]
+            rf = rf[perm]
+        hist["spread_before"].append(sp0)
+        hist["spread_after"].append(spread_of(rf))
+        hist["rebalanced"].append(bool(rebal))
+
+        total = int(rf.sum())
+        pc, cc = (
+            max(16, int(np.ceil(total / d * margin))),
+        ) * 2
+        smgt = shard_csr(mgt, d)
+        smt = shard_csr(mt, d, local_capacity=max(cc, int(mt.capacity)))
+        new_smt, stats = sharded_rmcl_step(mesh, smgt, smt, pc, cc, axis)
+        mt = unshard_csr(new_smt)
+        prev_differs = float(stats["differs"])
+        hist["differs"].append(prev_differs)
+        hist["nnz"].append(int(stats["nnz_mt"]))
+        hist["overflow"].append(bool(stats["overflow"]))
+
+    inv = jnp.asarray(permutation_transpose(perm_total))
+    out = mt.conjugate_permute(inv)
+    return out, {k: np.asarray(v) for k, v in hist.items()}

@@ -1,9 +1,23 @@
 """Distributed static fused R-MCL: the flagship multi-chip loop.
 
-The sharded counterpart of models/rmcl_ell.py.  Because the iterate is a
-dense-shaped ELL pair ``[n, S]``, the per-iteration collective is a plain
-`all_gather` of two dense arrays over ICI (no ragged protocol at all), and
-every shard runs the same static fused step on its own Mgt row block:
+The sharded counterpart of models/rmcl_ell.py.  The iterate is a
+dense-shaped ELL pair ``[n, S]`` and the per-iteration exchange comes in
+two flavours:
+
+* ``exchange="ring"`` (default, memory-scalable): the iterate blocks
+  ``[lr, S]`` ROTATE around the mesh via `jax.lax.ppermute` (the SpGEMM
+  analogue of ring attention's rotating KV, SURVEY.md §2.6 last row).
+  The planner pre-groups each shard's Mgt entries by the rotation step
+  that delivers their iterate row, so each step gathers exactly that
+  step's segments from the resident block and the hub-dense partial
+  product consumes the matching column slice — per-chip peak iterate
+  footprint is ~2 blocks (2·n·S/D values) instead of the whole ``[n, S]``.
+  XLA's async collective-permute overlaps the next block transfer with
+  the current block's gather/matmul work.
+* ``exchange="all_gather"``: one dense all_gather per iteration (round-1
+  behaviour; full ``[n, S]`` replica per chip — fastest at small n).
+
+Common structure:
 
 * Mgt is row-sharded once (flops follow the fixed structure, so the
   flops-balanced permutation of `sharded.py` applies verbatim);
@@ -48,6 +62,8 @@ class ShardedRmclPlan:
     S: int
     bin_shapes: tuple  # ((D_class, R_pad), ...) common across shards
     hmax: int  # unified hub-row count per shard
+    num_shards: int = 0
+    step_widths: tuple = ()  # ring mode: per-rotation-step entry-group pad
 
     __hash__ = object.__hash__
 
@@ -122,20 +138,48 @@ def plan_sharded_rmcl_ell(
     arrays["huge_rows"] = jnp.asarray(hrow_stack)
     arrays["a_dense"] = jnp.asarray(a_dense)
 
+    # ring-exchange entry groups: entry e of shard sh is served at the
+    # rotation step k where the resident block's owner (sh - k) mod D
+    # equals owner(col_e) = col_e // lr.  Group sizes differ per shard, so
+    # each step's group is padded to the max across shards (static SPMD
+    # shapes); -1 pads are dropped by the kernel's scatter.
+    step_groups = [[] for _ in range(num_shards)]
+    for sh in range(num_shards):
+        nnz_sh = int(np.asarray(smgt.row_ptr[sh])[-1])
+        col = np.asarray(smgt.col_ind[sh])[:nnz_sh]
+        owner = np.clip(col, 0, n_pad - 1) // lr
+        k_of_e = (sh - owner) % num_shards
+        for k in range(num_shards):
+            step_groups[sh].append(
+                np.nonzero(k_of_e == k)[0].astype(np.int32)
+            )
+    step_widths = []
+    arrays["step_ents"] = []
+    for k in range(num_shards):
+        emax = max(max(g[k].size for g in step_groups), 1)
+        emax = max(8, _pow2ceil(emax))
+        step_widths.append(emax)
+        stack = np.full((num_shards, emax), -1, np.int32)
+        for sh in range(num_shards):
+            g = step_groups[sh][k]
+            stack[sh, : g.size] = g
+        arrays["step_ents"].append(jnp.asarray(stack))
+
     plan = ShardedRmclPlan(
         n=n_pad,
         lr=lr,
         S=int(S),
         bin_shapes=tuple(bin_shapes),
         hmax=int(hmax),
+        num_shards=num_shards,
+        step_widths=tuple(step_widths),
     )
     return plan, arrays, smgt
 
 
-def _local_step(plan, a_rp, a_ci, a_v, row_ids, ent_src, huge_rows, a_dense,
-                g_cols, g_vals):
-    """Fused step on one shard's rows against the gathered global iterate."""
-    n, S, lr = plan.n, plan.S, plan.lr
+def _segments_gathered(plan, a_rp, a_ci, a_v, g_cols, g_vals):
+    """Per-entry segments from a fully gathered [n, S] iterate."""
+    n, S = plan.n, plan.S
     cap = a_ci.shape[0]
     safe_col = jnp.clip(a_ci, 0, n - 1)
     valid = jnp.arange(cap) < a_rp[-1]
@@ -145,6 +189,63 @@ def _local_step(plan, a_rp, a_ci, a_v, row_ids, ent_src, huge_rows, a_dense,
     )
     seg_c = jnp.concatenate([seg_c, jnp.full((1, S), n, INDEX_DTYPE)], axis=0)
     seg_v = jnp.concatenate([seg_v, jnp.zeros((1, S), QVALUE_DTYPE)], axis=0)
+    return seg_c, seg_v
+
+
+def _segments_ring(
+    plan, a_ci, a_v, step_ents, a_dense, block_c, block_v, axis
+):
+    """Per-entry segments + hub partial products via ring rotation.
+
+    The iterate blocks ``[lr, S]`` rotate rightwards around the mesh; at
+    step k shard ``me`` holds the block of owner ``(me - k) mod D`` and
+    fills exactly the entry group the planner assigned to step k, plus
+    the hub-dense partial product of the matching column slice.  Peak
+    resident iterate: TWO blocks (the held one + the ppermute landing
+    buffer) — n·S/D scaling, vs the full [n, S] of all_gather mode.
+    """
+    n, S, lr, d = plan.n, plan.S, plan.lr, plan.num_shards
+    cap = a_ci.shape[0]
+    me = jax.lax.axis_index(axis)
+    seg_c = jnp.full((cap + 1, S), n, INDEX_DTYPE)
+    seg_v = jnp.zeros((cap + 1, S), QVALUE_DTYPE)
+    hmax = plan.hmax
+    c_h = jnp.zeros((hmax, n), QVALUE_DTYPE) if hmax else None
+    perm = [(i, (i + 1) % d) for i in range(d)]
+    for k in range(d):
+        owner = (me - k) % d
+        bstart = owner * lr
+        ids = step_ents[k]  # [Ek] local entry indices, -1 padded
+        safe_ids = jnp.clip(ids, 0, cap - 1)
+        col = jnp.take(a_ci, safe_ids)
+        loc = jnp.clip(col - bstart, 0, lr - 1)
+        sc = jnp.take(block_c, loc, axis=0)
+        sv = jnp.take(block_v, loc, axis=0) * jnp.take(a_v, safe_ids)[:, None]
+        tgt = jnp.where(ids >= 0, ids, cap + 1)  # pads drop out of bounds
+        seg_c = seg_c.at[tgt].set(sc, mode="drop")
+        seg_v = seg_v.at[tgt].set(sv, mode="drop")
+        if hmax:
+            # hub partial: A_hub[:, block rows] @ dense(block)
+            a_slice = jax.lax.dynamic_slice(
+                a_dense, (0, bstart), (hmax, lr)
+            )
+            rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (lr, S), 0)
+            md = jnp.zeros((lr, n), QVALUE_DTYPE)
+            md = md.at[rix, block_c].add(block_v, mode="drop")
+            c_h = c_h + jnp.dot(
+                a_slice, md, preferred_element_type=jnp.float32
+            )
+        if k + 1 < d:
+            block_c = jax.lax.ppermute(block_c, axis, perm)
+            block_v = jax.lax.ppermute(block_v, axis, perm)
+    return seg_c, seg_v, c_h
+
+
+def _local_step(plan, a_rp, a_ci, a_v, row_ids, ent_src, huge_rows, a_dense,
+                seg_c, seg_v, c_h=None):
+    """Fused step on one shard's rows given per-entry segments (and, in
+    ring mode, precomputed hub products)."""
+    n, S, lr = plan.n, plan.S, plan.lr
     sent = seg_c.shape[0] - 1
 
     new_cols = jnp.full((lr, S), n, INDEX_DTYPE)
@@ -166,7 +267,6 @@ def _local_step(plan, a_rp, a_ci, a_v, row_ids, ent_src, huge_rows, a_dense,
         trunc = trunc + jnp.sum(jnp.where(ok, truncated, False))
 
     if plan.hmax:
-        c_h = _hub_dense_products(a_dense, g_cols, g_vals, n)
         lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, c_h.shape, 1)
         key = jnp.where(c_h != 0, lanes, n)
         sc, sw, truncated = _prune_select_lanes(key, c_h, n, S)
@@ -179,7 +279,9 @@ def _local_step(plan, a_rp, a_ci, a_v, row_ids, ent_src, huge_rows, a_dense,
     return new_cols, new_vals, nnz_out, trunc
 
 
-@partial(jax.jit, static_argnames=("mesh", "plan", "axis", "max_iters"))
+@partial(
+    jax.jit, static_argnames=("mesh", "plan", "axis", "max_iters", "exchange")
+)
 def sharded_rmcl_ell_scan(
     mesh,
     plan: ShardedRmclPlan,
@@ -189,16 +291,41 @@ def sharded_rmcl_ell_scan(
     mt_vals,
     max_iters: int,
     axis: str = ROW_AXIS,
+    exchange: str = "ring",
 ):
     """Device-resident multi-chip loop; ``mt_cols/vals`` are stacked
-    [D, lr, S] (sharded over 'x')."""
+    [D, lr, S] (sharded over 'x').  ``exchange``: "ring" (ppermute block
+    rotation, memory-scalable) or "all_gather" (full replica per chip)."""
     n, S, lr = plan.n, plan.S, plan.lr
 
-    def kernel(a_rp, a_ci, a_v, row_ids, ent_src, huge_rows, a_dense, c0, v0):
+    def kernel(
+        a_rp, a_ci, a_v, row_ids, ent_src, step_ents, huge_rows, a_dense,
+        c0, v0,
+    ):
         def step(carry, _):
             lc, lv = carry  # [1, lr, S] local shards
-            g_c = jax.lax.all_gather(lc[0], axis).reshape(n, S)
-            g_v = jax.lax.all_gather(lv[0], axis).reshape(n, S)
+            if exchange == "ring":
+                seg_c, seg_v, c_h = _segments_ring(
+                    plan,
+                    a_ci[0],
+                    a_v[0],
+                    [s[0] for s in step_ents],
+                    a_dense[0],
+                    lc[0],
+                    lv[0],
+                    axis,
+                )
+            else:
+                g_c = jax.lax.all_gather(lc[0], axis).reshape(n, S)
+                g_v = jax.lax.all_gather(lv[0], axis).reshape(n, S)
+                seg_c, seg_v = _segments_gathered(
+                    plan, a_rp[0], a_ci[0], a_v[0], g_c, g_v
+                )
+                c_h = (
+                    _hub_dense_products(a_dense[0], g_c, g_v, n)
+                    if plan.hmax
+                    else None
+                )
             nc, nv, nnz, trunc = _local_step(
                 plan,
                 a_rp[0],
@@ -208,8 +335,9 @@ def sharded_rmcl_ell_scan(
                 [s[0] for s in ent_src],
                 huge_rows[0],
                 a_dense[0],
-                g_c,
-                g_v,
+                seg_c,
+                seg_v,
+                c_h,
             )
             # convergence: local diff via merged rows, psum'd
             ld2, ln2 = _ell_drift_sq(lc[0], lv[0], nc, nv, n)
@@ -235,6 +363,7 @@ def sharded_rmcl_ell_scan(
             (spec,) * 3
             + ([spec] * len(arrays["row_ids"]),)
             + ([spec] * len(arrays["ent_src"]),)
+            + ([spec] * len(arrays["step_ents"]),)
             + (spec, spec, spec, spec)
         ),
         out_specs=(spec, spec, stats_spec),
@@ -245,6 +374,7 @@ def sharded_rmcl_ell_scan(
         smgt.values,
         arrays["row_ids"],
         arrays["ent_src"],
+        arrays["step_ents"],
         arrays["huge_rows"],
         arrays["a_dense"],
         mt_cols,
@@ -261,6 +391,7 @@ def sharded_rmcl_ell(
     max_tile: int = 8192,
     axis: str = ROW_AXIS,
     balance: bool = False,
+    exchange: str = "ring",
 ):
     """End-to-end distributed static R-MCL.  Returns (CSR, stats).
 
@@ -303,7 +434,8 @@ def sharded_rmcl_ell(
     mt_cols = cols.reshape(num_shards, plan.lr, S)
     mt_vals = vals.reshape(num_shards, plan.lr, S)
     fc, fv, hist = sharded_rmcl_ell_scan(
-        mesh, plan, smgt, arrays, mt_cols, mt_vals, max_iters, axis
+        mesh, plan, smgt, arrays, mt_cols, mt_vals, max_iters, axis,
+        exchange,
     )
     out = ell_to_csr(
         np.asarray(fc).reshape(plan.n, S)[: mt0.rows],

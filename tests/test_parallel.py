@@ -129,3 +129,57 @@ def test_sharded_rmcl_single_device_mesh(rng):
     sa = shard_csr(a, 1, local_capacity=a.capacity * 4)
     new_mt, stats = sharded_rmcl_step(mesh, sa, sa, 2048, 2048)
     assert int(stats["nnz_mt"]) > 0
+
+
+@pytest.mark.parametrize("nd", [2, 8])
+def test_sharded_spgemm_ring_matches_single_chip(rng, nd):
+    """Ring-rotated B exchange (ppermute) equals the all-gather path and
+    the single-chip product — the memory-scalable distributed SpGEMM."""
+    from sparse_matrix_with_flops_tpu.parallel import sharded_spgemm_ring
+
+    mesh = make_mesh(nd)
+    a = _random_csr(rng, 44, 52, 0.15)
+    b = _random_csr(rng, 52, 36, 0.2)
+    ref = matmul(a, b).make_ordered()
+    flops, _ = spgemm_upper_bounds(a, b)
+    per = max(flops, 16)
+    sa = shard_csr(a, nd)
+    sb = shard_csr(b, nd)
+    c, info = sharded_spgemm_ring(mesh, sa, sb, per, per)
+    got = unshard_csr(c)._drop_explicit_zeros()
+    want = ref._drop_explicit_zeros()
+    assert bool(got.is_raw_equal(want, tol=1e-5))
+    assert int(jnp.sum(info["flops"])) == flops
+
+
+def test_adaptive_repartition_balances_and_matches(rng):
+    """HYB-style adaptive repartitioning (VERDICT r1 item 3): on a skewed
+    matrix the per-shard flops spread stays under 10% across 5 iterations,
+    and the relabel round-trip preserves the single-chip result."""
+    from sparse_matrix_with_flops_tpu.parallel import sharded_rmcl_adaptive
+
+    n, d = 128, 4
+    # heavy first block (deg ~24) + light tail (deg ~4), heavy rows all in
+    # shard 0 under the natural layout -> initial spread far above 10%
+    dense = np.zeros((n, n), np.float32)
+    for i in range(n):
+        deg = 24 if i < 16 else 4
+        cols = rng.choice(n, size=deg, replace=False)
+        dense[i, cols] = 1.0
+        dense[i, i] = 1.0
+    mt0 = CSR.from_dense(dense).aver_and_norm_rows()
+
+    mesh = make_mesh(d)
+    ref = rmcl(mt0, max_iters=5, mode="loop")
+    got, hist = sharded_rmcl_adaptive(mt0, mesh, max_iters=5)
+
+    assert hist["rebalanced"][0]
+    assert hist["spread_before"][0] > 0.10  # the skew was real
+    assert np.all(hist["spread_after"] < 0.10)
+    assert not np.any(hist["overflow"])
+    a = got.make_ordered()._drop_explicit_zeros()
+    b = ref.mt.make_ordered()._drop_explicit_zeros()
+    assert bool(a.is_raw_equal(b, tol=1e-5))
+    np.testing.assert_allclose(
+        hist["differs"], ref.differs_history, rtol=1e-3, atol=1e-5
+    )

@@ -19,13 +19,16 @@ def _compare(a: CSR, b: CSR, tol=1e-5) -> bool:
     )
 
 
+@pytest.mark.parametrize("exchange", ["ring", "all_gather"])
 @pytest.mark.parametrize("nd", [2, 8])
-def test_sharded_static_matches_dynamic(nd):
+def test_sharded_static_matches_dynamic(nd, exchange):
     mesh = make_mesh(nd)
     graph = load_coo("tests/tdatas/tdata.snap", extra_capacity=16)
     mt0 = rmcl_init(graph)
     ref = rmcl(mt0, max_iters=3, mode="loop")
-    got, hist = sharded_rmcl_ell(mt0, mesh, max_iters=3, S=8)
+    got, hist = sharded_rmcl_ell(
+        mt0, mesh, max_iters=3, S=8, exchange=exchange
+    )
     assert int(hist["truncated_rows"].sum()) == 0
     assert _compare(got, ref.mt)
     np.testing.assert_allclose(
@@ -33,7 +36,8 @@ def test_sharded_static_matches_dynamic(nd):
     )
 
 
-def test_sharded_static_matches_single_chip_random(rng):
+@pytest.mark.parametrize("exchange", ["ring", "all_gather"])
+def test_sharded_static_matches_single_chip_random(rng, exchange):
     mesh = make_mesh(4)
     n = 32
     mask = rng.random((n, n)) < 0.2
@@ -42,7 +46,9 @@ def test_sharded_static_matches_single_chip_random(rng):
     dense = np.where(mask, 1.0, 0.0).astype(np.float32)
     mt0 = CSR.from_dense(dense).aver_and_norm_rows()
     ref, rhist = rmcl_ell(mt0, max_iters=2, S=32, max_tile=32 * 8)
-    got, hist = sharded_rmcl_ell(mt0, mesh, max_iters=2, S=32, max_tile=32 * 8)
+    got, hist = sharded_rmcl_ell(
+        mt0, mesh, max_iters=2, S=32, max_tile=32 * 8, exchange=exchange
+    )
     assert _compare(got, ref)
     np.testing.assert_allclose(
         hist["differs"], rhist["differs"], rtol=1e-3, atol=1e-5
