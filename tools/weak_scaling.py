@@ -50,30 +50,65 @@ def prep(scale):
 
 
 def main():
+    import json
+
     devs = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8]
     base_scale = int(os.environ.get("WS_BASE_SCALE", "10"))
+    exchange = os.environ.get("WS_EXCHANGE", "ring")
+    out_path = os.environ.get("WS_OUT", "benchmarks/results_r2.jsonl")
+    platform = jax.default_backend()
     results = []
+    rows_out = []
     for nd in devs:
         scale = base_scale + int(np.log2(nd))  # weak scaling: work ~ N
         mt0 = prep(scale)
         mesh = make_mesh(nd)
         t0 = time.monotonic()
-        out, hist = sharded_rmcl_ell(mt0, mesh, max_iters=2, S=64)
+        out, hist = sharded_rmcl_ell(
+            mt0, mesh, max_iters=2, S=64, exchange=exchange
+        )
         compile_s = time.monotonic() - t0
         t0 = time.monotonic()
-        out, hist = sharded_rmcl_ell(mt0, mesh, max_iters=2, S=64)
+        out, hist = sharded_rmcl_ell(
+            mt0, mesh, max_iters=2, S=64, exchange=exchange
+        )
         run_ms = (time.monotonic() - t0) * 1e3 / 2
+        nnz = int(hist["nnz"][-1])
         results.append((nd, scale, run_ms))
+        rows_out.append(
+            {
+                "bench": "weak_scaling_rmcl_ell",
+                "exchange": exchange,
+                "platform": platform,
+                "devices": nd,
+                "scale": scale,
+                "rows": mt0.rows,
+                "ms_per_iter": round(run_ms, 2),
+                "nnz_per_s": round(nnz / (run_ms / 1e3), 1),
+                "nnz": nnz,
+                "caveat": (
+                    "virtual CPU mesh: validates the collective program "
+                    "and scaling SHAPE, not absolute TPU time"
+                )
+                if platform == "cpu"
+                else "",
+            }
+        )
         print(
             f"devices={nd} scale={scale} rows={mt0.rows} "
-            f"{run_ms:.1f} ms/iter (compile {compile_s:.0f}s) "
-            f"nnz={int(hist['nnz'][-1])}",
+            f"{run_ms:.1f} ms/iter (compile {compile_s:.0f}s) nnz={nnz}",
             flush=True,
         )
     base = results[0][2]
-    for nd, scale, ms in results:
+    for (nd, scale, ms), row in zip(results, rows_out):
+        # weak scaling: constant per-device work -> efficiency = t1/tN
         eff = base / ms * 100.0
+        row["weak_scaling_efficiency_pct"] = round(eff, 1)
         print(f"weak-scaling efficiency @ {nd} devices: {eff:.0f}%", flush=True)
+    with open(out_path, "a") as f:
+        for row in rows_out:
+            f.write(json.dumps(row) + "\n")
+    print(f"wrote {len(rows_out)} rows to {out_path}", flush=True)
 
 
 if __name__ == "__main__":
