@@ -26,10 +26,16 @@ import numpy as np
 def main() -> None:
     import jax
 
-    from sparse_matrix_with_flops_tpu.ops.ell_esc import plan_ell, spgemm_ell
+    from sparse_matrix_with_flops_tpu.formats.csr import CSR
+    from sparse_matrix_with_flops_tpu.ops.ell_esc import (
+        _tiles_impl,
+        _use_pallas_default,
+        plan_ell,
+        spgemm_ell,
+    )
     from sparse_matrix_with_flops_tpu.ops.spgemm import spgemm_upper_bounds
     from sparse_matrix_with_flops_tpu.utils.generate import rmat_csr
-    from sparse_matrix_with_flops_tpu.utils.timing import bench_fn
+    from sparse_matrix_with_flops_tpu.utils.timing import slope_bench
 
     scale = int(os.environ.get("BENCH_SCALE", "14"))
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "8"))
@@ -40,7 +46,23 @@ def main() -> None:
 
     plan = plan_ell(a, a)
     dev_a = jax.device_put(a)
-    ms = bench_fn(lambda x: spgemm_ell(x, x, plan), dev_a, warmup=2, iters=5)
+    # warm the exact path twice (caches + validates the nnz(C) bucket),
+    # then slope-time the fused single-dispatch kernel: k reps inside one
+    # jitted scan with a runtime-zero perturbation + checksum carry —
+    # dispatch latency and host RTT cancel in dT/dk (utils.timing).
+    spgemm_ell(dev_a, dev_a, plan)
+    spgemm_ell(dev_a, dev_a, plan)
+    cap = getattr(plan, "_nnzc_cache")
+    up = _use_pallas_default()
+
+    def step(x):
+        a2 = CSR(dev_a.row_ptr, dev_a.col_ind, dev_a.values + x, dev_a.ncols)
+        csr, nnzc = _tiles_impl(
+            a2, dev_a, plan, plan.chunk, up, fused_out_cap=cap
+        )
+        return (csr.row_ptr, csr.col_ind, csr.values, nnzc)
+
+    ms = slope_bench(step)
     gflops = flops2 / ms / 1e6
 
     # host-CPU Gustavson baseline (best of 5 to dodge host contention)

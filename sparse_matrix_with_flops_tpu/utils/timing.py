@@ -69,3 +69,49 @@ def bench_fn(fn, *args, warmup: int = 2, iters: int = 5) -> float:
         times.append((time.monotonic() - t0) * 1e3)
     times.sort()
     return times[len(times) // 2]
+
+
+def slope_bench(make_step, ks=(1, 4), iters: int = 3) -> float:
+    """Steady-state ms/op via slope timing — the only trustworthy timing
+    through an async dispatch tunnel (see docs/ROOFLINE.md).
+
+    ``make_step(x)`` receives a runtime-zero f32 scalar (a lax.scan
+    element) and must fold it into its inputs (e.g. ``values + x``) so
+    XLA can neither CSE nor hoist the op out of the repetition loop; its
+    outputs are checksummed into the carry so nothing is dead-code
+    eliminated.  Runs k repetitions inside ONE jitted scan for each k in
+    ``ks`` and returns (T(k2) - T(k1)) / (k2 - k1): dispatch latency and
+    host-fetch RTT cancel exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def build(k):
+        @jax.jit
+        def f():
+            def body(acc, x):
+                outs = make_step(x)
+                s = sum(
+                    jnp.sum(o).astype(jnp.float32)
+                    for o in jax.tree.leaves(outs)
+                )
+                return acc + s, None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.zeros(k))
+            return acc
+
+        return f
+
+    times = {}
+    for k in ks:
+        f = build(k)
+        float(f())  # compile + warm
+        ts = []
+        for _ in range(iters):
+            t0 = time.monotonic()
+            float(f())
+            ts.append((time.monotonic() - t0) * 1e3)
+        ts.sort()
+        times[k] = ts[len(ts) // 2]
+    k1, k2 = ks
+    return max((times[k2] - times[k1]) / (k2 - k1), 1e-3)
