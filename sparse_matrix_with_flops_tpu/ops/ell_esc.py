@@ -269,6 +269,46 @@ def plan_ell(
 
 
 # ---------------------------------------------------------------------------
+# windowed pair gathers
+#
+# Gathers on this chip are descriptor-bound (docs/ROOFLINE.md: ~110M
+# descriptors/s x bytes-per-descriptor), so every unaligned ragged read is
+# phrased as "gather two WQ-wide rows per window and roll" — and cols+vals
+# are interleaved into ONE window-source array ([T/WQ, 2*WQ]: col lanes
+# then value-bit lanes) so each window costs 2 descriptors instead of 4.
+# ---------------------------------------------------------------------------
+_WQ = 16  # window width (elements); flat tile layouts are 16-aligned
+
+
+def _win_src_pairs(cols, valbits, wq: int):
+    """[T] int32 cols + [T] int32 value bits -> [T/wq, 2*wq] interleaved
+    window-source rows (cols in lanes [0,wq), value bits in [wq,2*wq))."""
+    return jnp.concatenate(
+        [cols.reshape(-1, wq), valbits.reshape(-1, wq)], axis=1
+    )
+
+
+def _window_gather_pairs(src, p0, wq: int):
+    """Unaligned wq-wide (col,val) windows starting at flat positions
+    ``p0`` out of a `_win_src_pairs` array: one row-pair gather + a
+    wq-way roll-select.  Returns ([Q, wq] int32 cols, [Q, wq] f32 vals)."""
+    nw = src.shape[0]
+    wr = jnp.clip(p0 // wq, 0, nw - 2)
+    off = jnp.clip(p0 - wr * wq, 0, wq - 1)[:, None]
+    g = jnp.concatenate(
+        [jnp.take(src, wr, axis=0), jnp.take(src, wr + 1, axis=0)], axis=1
+    )  # [Q, 4*wq]
+    gc = jnp.concatenate([g[:, :wq], g[:, 2 * wq : 3 * wq]], axis=1)
+    gv = jnp.concatenate([g[:, wq : 2 * wq], g[:, 3 * wq :]], axis=1)
+    accc, accv = gc[:, :wq], gv[:, :wq]
+    for o in range(1, wq):
+        sel = off == o
+        accc = jnp.where(sel, gc[:, o : o + wq], accc)
+        accv = jnp.where(sel, gv[:, o : o + wq], accv)
+    return accc, jax.lax.bitcast_convert_type(accv, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # jitted pipeline (two phases: tiles+counts, then exact-size assembly)
 # ---------------------------------------------------------------------------
 def _flat_layout(plan: EllPlan):
@@ -289,15 +329,19 @@ def _flat_layout(plan: EllPlan):
         base += row_ids.size * W
     huge_start = base
     # huge rows go through the dense-MXU path: their compacted region is
-    # one full-width row each
+    # one full-width row each, 128-aligned (keeps every flat_base
+    # 16-aligned for the row-granular assembly repair, and matches the
+    # Pallas compaction's padded lane width)
+    ncp = -(-plan.ncols // 128) * 128
     flat_base[plan.huge_rows] = huge_start + np.arange(
         plan.huge_rows.size, dtype=np.int64
-    ) * plan.ncols
-    base += plan.huge_rows.size * plan.ncols
+    ) * ncp
+    base += plan.huge_rows.size * ncp
     lay = {
         "bin_starts": tuple(bin_starts),
         "flat_base": flat_base,
         "huge_start": huge_start,
+        "huge_stride": ncp,
         "flat_total": base,
     }
     object.__setattr__(plan, "_layout_cache", lay)
@@ -305,7 +349,8 @@ def _flat_layout(plan: EllPlan):
 
 
 @partial(
-    jax.jit, static_argnames=("plan", "chunk", "use_pallas", "fused_out_cap")
+    jax.jit,
+    static_argnames=("plan", "chunk", "use_pallas", "fused_out_cap", "_stage"),
 )
 def _tiles_impl(
     a: CSR,
@@ -314,16 +359,37 @@ def _tiles_impl(
     chunk: int,
     use_pallas: bool = False,
     fused_out_cap: int | None = None,
+    _stage: int = 99,
 ):
     """Phase 1: expansion + per-bin sort/dedup/compaction.
 
     Returns (flat cols [T] int32, flat vals [T] f32, counts [m],
     flat_base [m] incl. huge rows).
+
+    ``_stage`` truncates the pipeline for slope-profiling (tools/
+    profile_fused.py): 0 = B-ELL build only, 1 = + tile chunk gathers,
+    2 = + sort/dedup/compact, 99 = full.
     """
     m, ncols = plan.rows, plan.ncols
     lay = _flat_layout(plan)
 
-    # 1. B ELL classes (element gather at ~2*nnzB scale)
+    # 1. B ELL classes.  Windowed build when the layout is 16-aligned:
+    # 2 row descriptors per 16-element window instead of 16 element
+    # descriptors per plane (measured 9.4 -> ~1 ms at s14).
+    win_ok = chunk % _WQ == 0
+    if win_ok:
+        cap = int(b.capacity)
+        tb = -(-cap // _WQ) * _WQ + 2 * _WQ
+        bc = jnp.concatenate(
+            [b.col_ind, jnp.full((tb - cap,), ncols, INDEX_DTYPE)]
+        )
+        bvb = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(b.values, jnp.int32),
+                jnp.zeros((tb - cap,), jnp.int32),
+            ]
+        )
+        bsrc = _win_src_pairs(bc, bvb, _WQ)
     b_ells = []
     for S, b_rows in plan.b_classes:
         rows_s = jnp.asarray(b_rows)
@@ -334,10 +400,19 @@ def _tiles_impl(
             ok, (jnp.take(b.row_ptr, safe_rows + 1)[:, None] - start), 0
         )
         lanes = jnp.arange(S, dtype=INDEX_DTYPE)[None, :]
-        idx = jnp.clip(start + lanes, 0, b.capacity - 1)
         valid = lanes < cnt
-        ec = jnp.where(valid, jnp.take(b.col_ind, idx), ncols)
-        ev = jnp.where(valid, jnp.take(b.values, idx), 0.0)
+        if win_ok:
+            j = jnp.arange(S // _WQ, dtype=INDEX_DTYPE)[None, :] * _WQ
+            p0 = (start + j).reshape(-1)
+            wc, wv = _window_gather_pairs(bsrc, p0, _WQ)
+            ec0 = wc.reshape(rows_s.shape[0], S)
+            ev0 = wv.reshape(rows_s.shape[0], S)
+        else:
+            idx = jnp.clip(start + lanes, 0, b.capacity - 1)
+            ec0 = jnp.take(b.col_ind, idx)
+            ev0 = jnp.take(b.values, idx)
+        ec = jnp.where(valid, ec0, ncols)
+        ev = jnp.where(valid, ev0, 0.0)
         # one sentinel row at the end: target of padded entry slots
         ec = jnp.concatenate(
             [ec, jnp.full((1, S), ncols, INDEX_DTYPE)], axis=0
@@ -357,6 +432,8 @@ def _tiles_impl(
     else:
         prod_c = jnp.full((1, chunk), ncols, INDEX_DTYPE)
         prod_v = jnp.zeros((1, chunk), QVALUE_DTYPE)
+    if _stage == 0:
+        return prod_c, prod_v
 
     # 3-4. per-bin row tiles: gather chunks, scale, sort, dedup, compact
     counts = jnp.zeros((m,), INDEX_DTYPE)
@@ -366,6 +443,10 @@ def _tiles_impl(
         aval = jnp.take(a.values, jnp.asarray(tile_ent))[:, None]
         tc = jnp.take(prod_c, src, axis=0).reshape(-1, W)  # row gather
         tv = (jnp.take(prod_v, src, axis=0) * aval).reshape(-1, W)
+        if _stage == 1:
+            cols_parts.append(tc.reshape(-1))
+            vals_parts.append(tv.reshape(-1))
+            continue
         if use_pallas:
             from .pallas_sort import sort_dedup_compact
 
@@ -401,6 +482,12 @@ def _tiles_impl(
         )
         cols_parts.append(key2.reshape(-1))
         vals_parts.append(uval.reshape(-1))
+    if _stage in (1, 2):
+        # profiling cutoff: checksum per part (skips hub + assembly)
+        return (
+            tuple(jnp.sum(p.astype(jnp.float32)) for p in cols_parts),
+            tuple(jnp.sum(p) for p in vals_parts),
+        )
 
     flat_base = jnp.asarray(lay["flat_base"].astype(np.int32))
     # Heavy rows (flops of order ncols or more) go DENSE on the MXU: the
@@ -435,12 +522,16 @@ def _tiles_impl(
         # NOTE: densification cannot represent explicit zeros, so products
         # that cancel to exactly 0.0 are dropped for huge rows (raw-equal
         # semantics; the tile path keeps them).
+        if _stage == 3:  # profiling cutoff: B densify only
+            return tuple(jnp.sum(bd) for bd in b_slabs)
         HC = 1024 if H > 1024 else H  # huge-row chunk
+        ncp = lay["huge_stride"]  # 128-aligned flat stride per hub row
         hlens = np.diff(plan.huge_rp)
         hcounts = []
         for h0 in range(0, H, HC):
             h1 = min(h0 + HC, H)
             hc = h1 - h0
+            hcp = -(-hc // 8) * 8  # Pallas sublane granularity
             e0, e1 = int(plan.huge_rp[h0]), int(plan.huge_rp[h1])
             src = jnp.asarray(plan.huge_src[e0:e1])
             rows_rep = jnp.asarray(
@@ -448,7 +539,7 @@ def _tiles_impl(
                     np.arange(hc, dtype=np.int32), hlens[h0:h1]
                 )
             )
-            a_d = jnp.zeros((hc, K), QVALUE_DTYPE)
+            a_d = jnp.zeros((hcp, K), QVALUE_DTYPE)
             a_d = a_d.at[
                 rows_rep, jnp.clip(jnp.take(a.col_ind, src), 0, K - 1)
             ].add(jnp.take(a.values, src))
@@ -459,12 +550,33 @@ def _tiles_impl(
                 ],
                 axis=1,
             )[:, :N]
-            lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, (hc, N), 1)
-            key = jnp.where(c_d != 0, lanes, N)
-            key, vals = jax.lax.sort((key, c_d), dimension=1, num_keys=1)
-            hcounts.append(jnp.sum(key < N, axis=1).astype(INDEX_DTYPE))
-            cols_parts.append(key.reshape(-1))
-            vals_parts.append(vals.reshape(-1))
+            if _stage == 4:  # profiling cutoff: + A densify + matmul
+                hcounts.append(jnp.sum(c_d))
+                continue
+            if ncp > N:
+                c_d = jnp.concatenate(
+                    [c_d, jnp.zeros((hcp, ncp - N), QVALUE_DTYPE)], axis=1
+                )
+            # dense rows are already column-ordered: compaction needs no
+            # sort — log-width shift compaction in VMEM (pallas_sort)
+            if use_pallas and ncp <= 32768:
+                from .pallas_sort import compact_nonzero_rows
+
+                key, vals = compact_nonzero_rows(c_d, N)
+            else:
+                lanes = jax.lax.broadcasted_iota(
+                    INDEX_DTYPE, (hcp, ncp), 1
+                )
+                key = jnp.where((c_d != 0) & (lanes < N), lanes, ncp)
+                key, vals = jax.lax.sort((key, c_d), dimension=1, num_keys=1)
+                key = jnp.where(key < N, key, N)
+            hcounts.append(
+                jnp.sum(key[:hc] < N, axis=1).astype(INDEX_DTYPE)
+            )
+            cols_parts.append(key[:hc].reshape(-1))
+            vals_parts.append(vals[:hc].reshape(-1))
+        if _stage == 4:
+            return tuple(hcounts)
         counts = counts.at[jnp.asarray(plan.huge_rows)].set(
             jnp.concatenate(hcounts), mode="drop"
         )
@@ -491,25 +603,46 @@ def _tiles_impl(
     return flat_c, flat_v, counts, flat_base
 
 
+_WA = 128  # assembly window width (one full lane row)
+
+
+def _roll_sel(x, off, width: int, right: bool = False):
+    """Per-row dynamic lane roll of ``x`` [Q, L] by ``off`` [Q] (< width),
+    in log2(width) conditional full-lane rolls."""
+    sign = 1 if right else -1
+    bit = 1
+    while bit < width:
+        sel = (off & bit) != 0
+        x = jnp.where(sel[:, None], jnp.roll(x, sign * bit, axis=1), x)
+        bit *= 2
+    return x
+
+
 def _assemble_body(
     flat_c, flat_v, counts, flat_base, ncols: int, out_cap: int,
     use_pallas: bool = False,
+    _stage: int = 99,
 ):
-    """counts -> row_ptr; windowed gathers build the flat CSR.
+    """counts -> row_ptr; 128-wide windowed gathers build the flat CSR.
 
-    Row gathers are descriptor-bound, so the export gathers 16-element
-    aligned windows per plane (cols, vals stored planar — a [T,2] pair
-    array makes XLA copy it into a 128-lane-padded layout, 64x memory) and
-    repairs the <=15 leading slots of every row (whose window crossed a
-    row boundary) with one m-scale gather+scatter.  The per-slot source
-    index comes from a scatter + cumsum (interval deltas), not a gather."""
+    Row gathers are descriptor-bound (docs/ROOFLINE.md), so the export
+    moves whole 128-lane windows: cols + value bits interleave into ONE
+    [T/128, 256] window source (two descriptors fetch a straddled
+    window's col AND val lanes), a log2 roll-select aligns each window,
+    and the <=127 leading slots of every output row — the only slots a
+    straddling window gets wrong — are repaired with an m-scale ALIGNED
+    row scatter: each row's exact head is gathered from its (static)
+    flat_base, rolled right by starts%128, split across the two window
+    rows it lands in, and scatter-ADDed under disjoint masks (each
+    output slot belongs to exactly one row head).  No element-granular
+    descriptor is issued anywhere.  The per-slot source index comes from
+    a scatter + cumsum (interval deltas), not a gather."""
     m = counts.shape[0]
-    WQ = 16  # output window (elements)
+    W = _WA
     out_rp = exclusive_cumsum(counts).astype(INDEX_DTYPE)
-    ocap = -(-out_cap // 128) * 128
+    ocap = -(-out_cap // W) * W
     q = jnp.arange(ocap, dtype=INDEX_DTYPE)
     total = out_rp[-1]
-    qvalid = q < total
     nonempty = counts > 0
     starts = out_rp[:-1]
 
@@ -529,69 +662,74 @@ def _assemble_body(
         jnp.where(nonempty, d - prevd, 0), mode="drop"
     )
     idx = q + jnp.cumsum(dd)
+    if _stage == 0:
+        return idx
 
-    # The Pallas align kernel needs (8,128)-granular blocks (Mosaic
-    # minimum) which costs 8x read amplification; keep it opt-in until the
-    # DMA formulation lands.  Default: XLA windowed gathers.
-    import os as _os
+    # interleaved window source: [nr, 2W] rows = [cols W | val bits W]
+    tpad = -(-flat_c.shape[0] // W) * W + 2 * W
+    fc = jnp.concatenate(
+        [flat_c, jnp.full((tpad - flat_c.shape[0],), ncols, jnp.int32)]
+    )
+    fvb = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(flat_v, jnp.int32),
+            jnp.zeros((tpad - flat_v.shape[0],), jnp.int32),
+        ]
+    )
+    src = jnp.concatenate(
+        [fc.reshape(-1, W), fvb.reshape(-1, W)], axis=1
+    )
+    nr = src.shape[0]
 
-    if use_pallas and _os.environ.get("SMF_ALIGN_KERNEL"):
-        from .pallas_align import window_align_gather
+    def win_gather(p0):
+        """[Q] flat positions -> ([Q, W] cols, [Q, W] f32 vals)."""
+        wr = jnp.clip(p0 // W, 0, nr - 2)
+        off = jnp.clip(p0 - wr * W, 0, W - 1)
+        g = jnp.concatenate(
+            [jnp.take(src, wr, axis=0), jnp.take(src, wr + 1, axis=0)],
+            axis=1,
+        )  # [Q, 4W]
+        gc = jnp.concatenate([g[:, :W], g[:, 2 * W : 3 * W]], axis=1)
+        gv = jnp.concatenate([g[:, W : 2 * W], g[:, 3 * W :]], axis=1)
+        gc = _roll_sel(gc, off, W)[:, :W]
+        gv = _roll_sel(gv, off, W)[:, :W]
+        return gc, jax.lax.bitcast_convert_type(gv, jnp.float32)
 
-        # 128-lane source rows + 1 slack row; the align kernel DMAs the
-        # two straddled rows per 16-window and rolls them into place
-        tpad = -(-flat_c.shape[0] // 128) * 128 + 128
-        fc2 = jnp.concatenate(
-            [flat_c, jnp.full((tpad - flat_c.shape[0],), ncols, jnp.int32)]
-        ).reshape(-1, 128)
-        fv2 = jnp.concatenate(
-            [flat_v, jnp.zeros((tpad - flat_v.shape[0],), jnp.float32)]
-        ).reshape(-1, 128)
-        p0 = idx[::WQ]
-        wr = jnp.clip(p0 // 128, 0, fc2.shape[0] - 2)
-        off = jnp.clip(p0 - wr * 128, 0, 127)
-        interp = jax.default_backend() != "tpu"
-        ccol = window_align_gather(fc2, wr, off, interpret=interp)
-        cval = window_align_gather(fv2, wr, off, interpret=interp)
-    else:
-        tpad = -(-flat_c.shape[0] // 16) * 16 + 64
-        fc = jnp.concatenate(
-            [flat_c, jnp.full((tpad - flat_c.shape[0],), ncols, jnp.int32)]
-        )
-        fv = jnp.concatenate(
-            [flat_v, jnp.zeros((tpad - flat_v.shape[0],), jnp.float32)]
-        )
-        src_c = fc.reshape(-1, 16)
-        src_v = fv.reshape(-1, 16)
-        p0 = idx[::WQ]
-        wr = jnp.clip(p0 // 16, 0, src_c.shape[0] - 2)
-        off = jnp.clip(p0 - wr * 16, 0, 15)[:, None]
+    wc, wv = win_gather(idx[::W])  # [ocap/W, W]
+    if _stage == 1:
+        return wc.reshape(-1), wv.reshape(-1)
 
-        def windowed(src):
-            g = jnp.concatenate(
-                [jnp.take(src, wr, axis=0), jnp.take(src, wr + 1, axis=0)],
-                axis=1,
-            )  # [Q, 32]
-            acc = g[:, :WQ]
-            for o in range(1, 16):
-                acc = jnp.where(off == o, g[:, o : o + WQ], acc)
-            return acc.reshape(-1)
+    # repair the first <=W-1 slots of every row (window continuity breaks
+    # at row boundaries): exact heads via an m-scale window gather at
+    # flat_base, rolled right by t = starts % W, scatter-added into the
+    # two straddled window rows under disjoint masks.
+    nwin = ocap // W
+    fix_c, fix_v = win_gather(jnp.where(nonempty, flat_base, 0))
+    lane = jnp.arange(W, dtype=INDEX_DTYPE)[None, :]
+    okf = nonempty[:, None] & (lane < counts[:, None])
+    t = jnp.where(nonempty, starts % W, 0)
+    q0 = starts // W
+    rc = _roll_sel(fix_c, t, W, right=True)
+    rv = _roll_sel(fix_v, t, W, right=True)
+    rm = _roll_sel(okf.astype(jnp.int32), t, W, right=True)
+    m_a = (rm > 0) & (lane >= t[:, None])  # head part in window q0
+    m_b = (rm > 0) & (lane < t[:, None])  # spill into window q0 + 1
+    tgt_a = jnp.where(nonempty, q0, nwin)
+    tgt_b = jnp.where(nonempty & (t > 0), q0 + 1, nwin)
+    acc_c = jnp.zeros((nwin, W), jnp.int32)
+    acc_v = jnp.zeros((nwin, W), jnp.float32)
+    acc_m = jnp.zeros((nwin, W), jnp.int32)
+    acc_c = acc_c.at[tgt_a].add(jnp.where(m_a, rc, 0), mode="drop")
+    acc_c = acc_c.at[tgt_b].add(jnp.where(m_b, rc, 0), mode="drop")
+    acc_v = acc_v.at[tgt_a].add(jnp.where(m_a, rv, 0.0), mode="drop")
+    acc_v = acc_v.at[tgt_b].add(jnp.where(m_b, rv, 0.0), mode="drop")
+    acc_m = acc_m.at[tgt_a].add(m_a.astype(jnp.int32), mode="drop")
+    acc_m = acc_m.at[tgt_b].add(m_b.astype(jnp.int32), mode="drop")
+    fixed = acc_m > 0
+    ccol = jnp.where(fixed, acc_c, wc).reshape(-1)
+    cval = jnp.where(fixed, acc_v, wv).reshape(-1)
 
-        ccol = windowed(src_c)
-        cval = windowed(src_v)
-
-    # repair the first WQ-1 slots of every row (window continuity breaks
-    # at row boundaries): m-scale gathers + scatters
-    k = jnp.arange(WQ - 1, dtype=INDEX_DTYPE)[None, :]
-    fsrc = jnp.clip(flat_base[:, None] + k, 0, flat_c.shape[0] - 1).reshape(-1)
-    fix_c = jnp.take(flat_c, fsrc)
-    fix_v = jnp.take(flat_v, fsrc)
-    tgt = starts[:, None] + k
-    okf = nonempty[:, None] & (k < counts[:, None])
-    tgt = jnp.where(okf, tgt, ocap).reshape(-1)
-    ccol = ccol.at[tgt].set(fix_c, mode="drop")
-    cval = cval.at[tgt].set(fix_v, mode="drop")
-
+    qvalid = q < total
     ccol = jnp.where(qvalid, ccol, ncols).astype(INDEX_DTYPE)
     cval = jnp.where(qvalid, cval, 0.0).astype(QVALUE_DTYPE)
     return CSR(jnp.minimum(out_rp, ocap), ccol, cval, ncols)

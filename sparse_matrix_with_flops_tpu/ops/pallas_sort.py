@@ -56,19 +56,62 @@ def _bitonic_sort_packed(key, val, width: int):
     return x[:r], pltpu.bitcast(x[r:], jnp.float32)
 
 
+def _shift_nonkeep(keep, width: int):
+    """Per lane: number of non-keep lanes strictly before it (= the left
+    shift each survivor must travel under stable compaction).  Hillis-
+    Steele inclusive scan, log(width) roll+add passes."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1)
+    z = (~keep).astype(jnp.int32)
+    incl = z
+    d = 1
+    while d < width:
+        incl = incl + jnp.where(lane >= d, pltpu.roll(incl, d, axis=1), 0)
+        d *= 2
+    return incl - z  # exclusive scan
+
+
+def _compact_left_packed(x, keep, width: int):
+    """Stable left-compaction of ``keep`` lanes in log(width) pull passes
+    (the warp-ballot stream compaction of GPU lore, on VPU lanes).
+
+    ``x`` is a packed (2R, W) tile (key rows stacked over value rows);
+    ``keep`` is (R, W).  Monotone routing (shift non-decreasing in lane)
+    guarantees pulls never overwrite a settled survivor; lanes beyond the
+    per-row survivor count hold garbage and must be masked by the caller.
+    Replaces a second full bitonic sort: ~2·log(W) passes vs ~log²(W)/2.
+    """
+    r = keep.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1)
+    sh = jnp.where(keep, _shift_nonkeep(keep, width), 0)
+    d = 1
+    while d < width:
+        xs = _roll(x, -d, width)
+        shs = pltpu.roll(sh, (-d) % width, axis=1)
+        cond = ((shs & d) != 0) & (lane + d < width)
+        x = jnp.where(jnp.concatenate([cond, cond], axis=0), xs, x)
+        sh = jnp.where(cond, shs - d, sh)
+        d *= 2
+    return x
+
+
 def _sdc_kernel(tc_ref, tv_ref, kout_ref, vout_ref, *, W: int, ncols: int):
     col = tc_ref[:]
     val = tv_ref[:]
+    r = col.shape[0]
     col, val = _bitonic_sort_packed(col, val, W)
     val = _run_sums(col, val, W)
     lane = jax.lax.broadcasted_iota(jnp.int32, col.shape, 1)
     nxt = _roll(col, -1, W)
     is_last = (col != nxt) | (lane == W - 1)
     keep = is_last & (col < ncols)
-    key2 = jnp.where(keep, col, ncols)
-    key2, val2 = _bitonic_sort_packed(key2, val, W)
-    kout_ref[:] = key2
-    vout_ref[:] = jnp.where(key2 < ncols, val2, 0.0)
+    cnt = jnp.sum(keep.astype(jnp.int32), axis=1, keepdims=True)
+    x = jnp.concatenate([col, pltpu.bitcast(val, jnp.int32)], axis=0)
+    x = _compact_left_packed(x, keep, W)
+    live = lane < cnt
+    kout_ref[:] = jnp.where(live, x[:r], ncols)
+    vout_ref[:] = jnp.where(
+        live, pltpu.bitcast(x[r:], jnp.float32), 0.0
+    )
 
 
 @partial(jax.jit, static_argnames=("ncols", "interpret", "rows_per_step"))
@@ -101,3 +144,50 @@ def sort_dedup_compact(
         ),
         interpret=interpret,
     )(tc, tv)
+
+
+def _compact_rows_kernel(v_ref, kout_ref, vout_ref, *, N: int, ncols: int):
+    val = v_ref[:]
+    r = val.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, val.shape, 1)
+    keep = (val != 0) & (lane < ncols)
+    cnt = jnp.sum(keep.astype(jnp.int32), axis=1, keepdims=True)
+    x = jnp.concatenate([lane, pltpu.bitcast(val, jnp.int32)], axis=0)
+    x = _compact_left_packed(x, keep, N)
+    live = lane < cnt
+    kout_ref[:] = jnp.where(live, x[:r], ncols)
+    vout_ref[:] = jnp.where(live, pltpu.bitcast(x[r:], jnp.float32), 0.0)
+
+
+@partial(jax.jit, static_argnames=("ncols", "interpret", "rows_per_step"))
+def compact_nonzero_rows(
+    vals: jax.Array,
+    ncols: int,
+    interpret: bool = False,
+    rows_per_step: int = 8,
+):
+    """Dense [R, N] rows -> (cols, vals) with nonzeros compacted to the
+    lane front in column order (N = padded width >= ncols; lanes beyond
+    ncols are ignored).  The hub-row compaction: dense rows are already
+    column-ordered, so no sort is needed — just the log-N shift
+    compaction (vs a full ~log²N bitonic).  R % rows_per_step == 0."""
+    r, n = vals.shape
+    kern = partial(_compact_rows_kernel, N=n, ncols=ncols)
+    grid = (r // rows_per_step,)
+    blk = lambda g: (g, 0)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows_per_step, n), blk, memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((rows_per_step, n), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_step, n), blk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, n), jnp.int32),
+            jax.ShapeDtypeStruct((r, n), jnp.float32),
+        ),
+        interpret=interpret,
+    )(vals)

@@ -184,9 +184,9 @@ def test_pallas_sort_dedup_compact_matches_xla(rng):
             np.testing.assert_allclose(v[r, i], want[c], rtol=1e-5, atol=1e-6)
 
 
-def test_assembly_pallas_align_path(rng, monkeypatch):
-    # full pipeline with the Pallas window-align assembly (interpret mode)
-    monkeypatch.setenv("SMF_ALIGN_KERNEL", "1")
+def test_assembly_two_phase_path(rng):
+    # two-phase tiles -> _flat_assemble (the 128-window roll-select
+    # assembly with scatter-add row-head repair), small odd shapes
     from sparse_matrix_with_flops_tpu.ops.ell_esc import (
         _flat_assemble,
         _tiles_impl,
