@@ -26,9 +26,24 @@ def main(argv=None) -> int:
     p.add_argument(
         "--kernel",
         default="ell",
-        choices=["esc", "binned", "ell", "ell-tiled", "rmcl", "rmcl-static"],
+        choices=[
+            "esc",
+            "binned",
+            "ell",
+            "ell-tiled",
+            "ell-partitioned",
+            "rmcl",
+            "rmcl-static",
+        ],
     )
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument(
+        "--parts",
+        type=int,
+        default=4,
+        help="row groups for --kernel ell-partitioned (memory-bounded "
+        "flat export; ops/partitioned.py)",
+    )
     args = p.parse_args(argv)
 
     coo = load_coo(args.input, is_trans=False)
@@ -60,6 +75,10 @@ def main(argv=None) -> int:
     if args.kernel == "binned":
         plan = plan_bins(a, a)
         fn = lambda x: spgemm_binned(x, x, plan)
+    elif args.kernel == "ell-partitioned":
+        from ..ops.partitioned import spgemm_ell_partitioned
+
+        fn = lambda x: spgemm_ell_partitioned(x, x, parts=args.parts)
     elif args.kernel in ("ell", "ell-tiled"):
         from ..ops.ell_esc import plan_ell, spgemm_ell, spgemm_ell_tiled
 

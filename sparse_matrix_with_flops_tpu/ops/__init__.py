@@ -6,6 +6,8 @@ Public surface (see docs/PARITY.md for the reference mapping):
 * ``spgemm_ell`` / ``spgemm_ell_tiled`` / ``spgemm_ell_symbolic`` /
   ``plan_ell`` — the production flops-classified pipeline
 * ``spgemm_binned`` / ``plan_bins`` — per-bin padded-width variant
+* ``spgemm_ell_partitioned`` / ``flops_prefix_partition`` — row-split
+  driver for flat export past one chip's memory scale
 * ``bcsr_spmm`` / ``csr_spmv`` / ``csr_spmm_dense`` — blocked matmuls
 * ``row_flops`` / ``classify_flops`` / ``flops_stats`` — the namesake
 * ``prune_normalize`` / ``compute_threshold`` — R-MCL row math
@@ -28,6 +30,10 @@ _EXPORTS = {
     "spgemm_flops": "flops",
     "compute_threshold": "prune",
     "prune_normalize": "prune",
+    "csr_row_slice": "partitioned",
+    "csr_vstack": "partitioned",
+    "flops_prefix_partition": "partitioned",
+    "spgemm_ell_partitioned": "partitioned",
     "matmul": "spgemm",
     "spgemm": "spgemm",
     "spgemm_dense_oracle": "spgemm",

@@ -558,17 +558,27 @@ def _tiles_impl(
                     [c_d, jnp.zeros((hcp, ncp - N), QVALUE_DTYPE)], axis=1
                 )
             # dense rows are already column-ordered: compaction needs no
-            # sort — log-width shift compaction in VMEM (pallas_sort)
-            if use_pallas and ncp <= 32768:
-                from .pallas_sort import compact_nonzero_rows
+            # sort — the log-width shift compaction runs in VMEM
+            # (pallas_sort.compact_nonzero_rows, ~0.0 ms at s14 shapes by
+            # slope timing).  A two-level 128-block-compact + scatter-add
+            # stitch was tried and REJECTED: the stitch's row scatters
+            # cost ~13.6 ms alone (tools/probe_hub.py) — scatters are the
+            # off-law primitive on this chip.  XLA lane-sort fallback for
+            # widths past the VMEM-block budget.
+            from .pallas_sort import compact_nonzero_rows
 
-                key, vals = compact_nonzero_rows(c_d, N)
+            if ncp <= 65536:
+                key, vals = compact_nonzero_rows(
+                    c_d, N, interpret=jax.default_backend() != "tpu"
+                )
             else:
                 lanes = jax.lax.broadcasted_iota(
                     INDEX_DTYPE, (hcp, ncp), 1
                 )
                 key = jnp.where((c_d != 0) & (lanes < N), lanes, ncp)
-                key, vals = jax.lax.sort((key, c_d), dimension=1, num_keys=1)
+                key, vals = jax.lax.sort(
+                    (key, c_d), dimension=1, num_keys=1
+                )
                 key = jnp.where(key < N, key, N)
             hcounts.append(
                 jnp.sum(key[:hc] < N, axis=1).astype(INDEX_DTYPE)
@@ -702,32 +712,55 @@ def _assemble_body(
     # repair the first <=W-1 slots of every row (window continuity breaks
     # at row boundaries): exact heads via an m-scale window gather at
     # flat_base, rolled right by t = starts % W, scatter-added into the
-    # two straddled window rows under disjoint masks.
+    # two straddled window rows under disjoint masks.  Scatter rows are
+    # the off-law primitive on this chip (~6x slower per descriptor than
+    # gathers), so cols+val-bits interleave into ONE (m, 2W) scatter
+    # source per straddle side (2 scatters total), and the repaired-slot
+    # mask is computed analytically — slot q is a head slot iff its
+    # in-row offset q - start(row(q)) < W, with start(row(q)) spread by
+    # the same interval-delta cumsum as ``d`` — instead of scattering
+    # mask counts.
     nwin = ocap // W
     fix_c, fix_v = win_gather(jnp.where(nonempty, flat_base, 0))
     lane = jnp.arange(W, dtype=INDEX_DTYPE)[None, :]
     okf = nonempty[:, None] & (lane < counts[:, None])
     t = jnp.where(nonempty, starts % W, 0)
     q0 = starts // W
-    rc = _roll_sel(fix_c, t, W, right=True)
-    rv = _roll_sel(fix_v, t, W, right=True)
+    stk = jnp.concatenate(
+        [fix_c, jax.lax.bitcast_convert_type(fix_v, jnp.int32)], axis=0
+    )  # (2m, W): col rows stacked over value-bit rows
+    rstk = _roll_sel(stk, jnp.concatenate([t, t]), W, right=True)
+    rc, rvb = rstk[:m], rstk[m:]
     rm = _roll_sel(okf.astype(jnp.int32), t, W, right=True)
     m_a = (rm > 0) & (lane >= t[:, None])  # head part in window q0
     m_b = (rm > 0) & (lane < t[:, None])  # spill into window q0 + 1
     tgt_a = jnp.where(nonempty, q0, nwin)
     tgt_b = jnp.where(nonempty & (t > 0), q0 + 1, nwin)
-    acc_c = jnp.zeros((nwin, W), jnp.int32)
-    acc_v = jnp.zeros((nwin, W), jnp.float32)
-    acc_m = jnp.zeros((nwin, W), jnp.int32)
-    acc_c = acc_c.at[tgt_a].add(jnp.where(m_a, rc, 0), mode="drop")
-    acc_c = acc_c.at[tgt_b].add(jnp.where(m_b, rc, 0), mode="drop")
-    acc_v = acc_v.at[tgt_a].add(jnp.where(m_a, rv, 0.0), mode="drop")
-    acc_v = acc_v.at[tgt_b].add(jnp.where(m_b, rv, 0.0), mode="drop")
-    acc_m = acc_m.at[tgt_a].add(m_a.astype(jnp.int32), mode="drop")
-    acc_m = acc_m.at[tgt_b].add(m_b.astype(jnp.int32), mode="drop")
-    fixed = acc_m > 0
-    ccol = jnp.where(fixed, acc_c, wc).reshape(-1)
-    cval = jnp.where(fixed, acc_v, wv).reshape(-1)
+    src_a = jnp.concatenate(
+        [jnp.where(m_a, rc, 0), jnp.where(m_a, rvb, 0)], axis=1
+    )
+    src_b = jnp.concatenate(
+        [jnp.where(m_b, rc, 0), jnp.where(m_b, rvb, 0)], axis=1
+    )
+    acc = jnp.zeros((nwin, 2 * W), jnp.int32)
+    acc = acc.at[tgt_a].add(src_a, mode="drop")
+    acc = acc.at[tgt_b].add(src_b, mode="drop")
+    # spread starts across slots (interval-delta scatter + cumsum)
+    ds = jnp.where(nonempty, starts, 0)
+    filled_s, _ = jax.lax.associative_scan(ff, (ds, nonempty), axis=0)
+    prevs = jnp.concatenate([jnp.zeros((1,), ds.dtype), filled_s[:-1]])
+    dds = jnp.zeros((ocap,), INDEX_DTYPE)
+    dds = dds.at[jnp.where(nonempty, starts, ocap)].add(
+        jnp.where(nonempty, ds - prevs, 0), mode="drop"
+    )
+    start_q = jnp.cumsum(dds)
+    fixed = ((q - start_q) < W).reshape(nwin, W)
+    ccol = jnp.where(fixed, acc[:, :W], wc).reshape(-1)
+    cval = jnp.where(
+        fixed,
+        jax.lax.bitcast_convert_type(acc[:, W:], jnp.float32),
+        wv,
+    ).reshape(-1)
 
     qvalid = q < total
     ccol = jnp.where(qvalid, ccol, ncols).astype(INDEX_DTYPE)
