@@ -421,19 +421,36 @@ def _tiles_impl(
         b_ells.append((ec.astype(INDEX_DTYPE), ev.astype(QVALUE_DTYPE)))
 
     # 2. chunk view of the B-ELL classes (tile gathers read these
-    # directly; values are scaled by the owning A entry's value per chunk)
+    # directly; values are scaled by the owning A entry's value per chunk).
+    # Cols and value bits interleave into ONE (nchunks, 2*chunk) array so
+    # each tile chunk costs one row descriptor instead of two — gathers
+    # are descriptor-bound (docs/ROOFLINE.md).
     if b_ells:
-        prod_c = jnp.concatenate(
-            [ec.reshape(-1, chunk) for ec, _ in b_ells], axis=0
-        )
-        prod_v = jnp.concatenate(
-            [ev.reshape(-1, chunk) for _, ev in b_ells], axis=0
+        prod = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [
+                        ec.reshape(-1, chunk),
+                        jax.lax.bitcast_convert_type(
+                            ev, jnp.int32
+                        ).reshape(-1, chunk),
+                    ],
+                    axis=1,
+                )
+                for ec, ev in b_ells
+            ],
+            axis=0,
         )
     else:
-        prod_c = jnp.full((1, chunk), ncols, INDEX_DTYPE)
-        prod_v = jnp.zeros((1, chunk), QVALUE_DTYPE)
+        prod = jnp.concatenate(
+            [
+                jnp.full((1, chunk), ncols, INDEX_DTYPE),
+                jnp.zeros((1, chunk), jnp.int32),
+            ],
+            axis=1,
+        )
     if _stage == 0:
-        return prod_c, prod_v
+        return (prod,)
 
     # 3-4. per-bin row tiles: gather chunks, scale, sort, dedup, compact
     counts = jnp.zeros((m,), INDEX_DTYPE)
@@ -441,8 +458,11 @@ def _tiles_impl(
     for bi, (W, row_ids, tile_src, tile_ent) in enumerate(plan.bins):
         src = jnp.asarray(tile_src)
         aval = jnp.take(a.values, jnp.asarray(tile_ent))[:, None]
-        tc = jnp.take(prod_c, src, axis=0).reshape(-1, W)  # row gather
-        tv = (jnp.take(prod_v, src, axis=0) * aval).reshape(-1, W)
+        t = jnp.take(prod, src, axis=0)  # one row gather for cols+vals
+        tc = t[:, :chunk].reshape(-1, W)
+        tv = (
+            jax.lax.bitcast_convert_type(t[:, chunk:], QVALUE_DTYPE) * aval
+        ).reshape(-1, W)
         if _stage == 1:
             cols_parts.append(tc.reshape(-1))
             vals_parts.append(tv.reshape(-1))
@@ -462,19 +482,31 @@ def _tiles_impl(
             uval = uval[: key2.shape[0]]
         else:
             tc, tv = jax.lax.sort((tc, tv), dimension=1, num_keys=1)
-            csum = jnp.cumsum(tv, axis=1)
+            # segmented within-run sums (NOT a cumsum difference: the
+            # cancellation of two ~row-total prefixes costs ~1e-4 abs
+            # error on wide bins; run-local sums keep error ~eps*runlen)
+            first = jnp.concatenate(
+                [
+                    jnp.ones((tc.shape[0], 1), bool),
+                    tc[:, 1:] != tc[:, :-1],
+                ],
+                axis=1,
+            )
+
+            def _seg(x, y):
+                sx, vx = x
+                sy, vy = y
+                return sx | sy, jnp.where(sy, vy, vx + vy)
+
+            _, runsum = jax.lax.associative_scan(_seg, (first, tv), axis=1)
             nxt = jnp.concatenate(
                 [tc[:, 1:], jnp.full((tc.shape[0], 1), ncols, INDEX_DTYPE)],
                 axis=1,
             )
             is_last = (tc != nxt) & (tc < ncols)
             key2 = jnp.where(is_last, tc, ncols)
-            key2, csum2 = jax.lax.sort((key2, csum), dimension=1, num_keys=1)
-            prev = jnp.concatenate(
-                [jnp.zeros((key2.shape[0], 1), QVALUE_DTYPE), csum2[:, :-1]],
-                axis=1,
-            )
-            uval = jnp.where(key2 < ncols, csum2 - prev, 0.0)
+            key2, uval = jax.lax.sort((key2, runsum), dimension=1, num_keys=1)
+            uval = jnp.where(key2 < ncols, uval, 0.0)
         cnt = jnp.sum(key2 < ncols, axis=1).astype(INDEX_DTYPE)
         rid = jnp.asarray(row_ids)
         counts = counts.at[jnp.where(rid >= 0, rid, m)].set(
@@ -506,18 +538,25 @@ def _tiles_impl(
         n_slabs = -(-N // slab)
         b_erow = b.entry_rows()
         b_slabs = []
+        # linear-index scatter-SET (unique CSR coordinates; dropped slots
+        # get distinct out-of-range indices so the uniqueness promise
+        # holds): measured 6.4 vs 9.7 ms for the 2-D scatter-add at s14
+        # (tools/probe_bdense.py)
+        slot = jnp.arange(b.capacity, dtype=INDEX_DTYPE)
         for sl in range(n_slabs):
             col_local = b.col_ind - sl * slab
-            tgt = jnp.where(
-                b.entry_valid() & (col_local >= 0) & (col_local < slab),
-                col_local,
-                slab,
+            ok = (
+                b.entry_valid()
+                & (col_local >= 0)
+                & (col_local < slab)
+                & (b_erow < K)
             )
-            b_d = jnp.zeros((K, slab), QVALUE_DTYPE)
+            lin = jnp.where(ok, b_erow * slab + col_local, K * slab + slot)
             b_slabs.append(
-                b_d.at[jnp.clip(b_erow, 0, K - 1), tgt].add(
-                    b.values, mode="drop"
-                )
+                jnp.zeros((K * slab,), QVALUE_DTYPE)
+                .at[lin]
+                .set(b.values, mode="drop", unique_indices=True)
+                .reshape(K, slab)
             )
         # NOTE: densification cannot represent explicit zeros, so products
         # that cancel to exactly 0.0 are dropped for huge rows (raw-equal
