@@ -20,10 +20,6 @@
 #include <string>
 #include <cctype>
 
-#if defined(_OPENMP)
-#include <omp.h>
-#endif
-
 namespace {
 
 struct Parsed {

@@ -470,6 +470,18 @@ def _tiles_impl(
         if use_pallas:
             from .pallas_sort import sort_dedup_compact
 
+            # every aligned chunk is a column-sorted B-row slice (sentinel
+            # pads at the tail keep it sorted); reversing odd chunks sets
+            # up the alternating-run invariant so the bitonic starts at
+            # k=2*chunk instead of k=2 — the W==chunk bin skips the
+            # network entirely
+            nch = W // chunk
+            if nch > 1:
+                flip = (jnp.arange(nch) & 1).astype(bool)[None, :, None]
+                t3 = tc.reshape(-1, nch, chunk)
+                tc = jnp.where(flip, t3[:, :, ::-1], t3).reshape(-1, W)
+                v3 = tv.reshape(-1, nch, chunk)
+                tv = jnp.where(flip, v3[:, :, ::-1], v3).reshape(-1, W)
             rpadded = -(-tc.shape[0] // 8) * 8
             if rpadded != tc.shape[0]:
                 padr = rpadded - tc.shape[0]
@@ -477,7 +489,7 @@ def _tiles_impl(
                     [tc, jnp.full((padr, W), ncols, INDEX_DTYPE)], axis=0
                 )
                 tv = jnp.concatenate([tv, jnp.zeros((padr, W))], axis=0)
-            key2, uval = sort_dedup_compact(tc, tv, ncols)
+            key2, uval = sort_dedup_compact(tc, tv, ncols, presorted=chunk)
             key2 = key2[: len(tile_src) // (W // chunk)]
             uval = uval[: key2.shape[0]]
         else:
@@ -677,15 +689,16 @@ def _assemble_body(
     Row gathers are descriptor-bound (docs/ROOFLINE.md), so the export
     moves whole 128-lane windows: cols + value bits interleave into ONE
     [T/128, 256] window source (two descriptors fetch a straddled
-    window's col AND val lanes), a log2 roll-select aligns each window,
-    and the <=127 leading slots of every output row — the only slots a
-    straddling window gets wrong — are repaired with an m-scale ALIGNED
-    row scatter: each row's exact head is gathered from its (static)
+    window's col AND val lanes), a VMEM log-roll align kernel
+    (pallas_sort.align_windows) aligns each window, and the <=127
+    leading slots of every output row — the only slots a straddling
+    window gets wrong — are repaired with an m-scale ALIGNED row
+    scatter: each row's exact head is gathered from its (static)
     flat_base, rolled right by starts%128, split across the two window
     rows it lands in, and scatter-ADDed under disjoint masks (each
     output slot belongs to exactly one row head).  No element-granular
-    descriptor is issued anywhere.  The per-slot source index comes from
-    a scatter + cumsum (interval deltas), not a gather."""
+    descriptor is issued anywhere.  The per-slot source index comes
+    from a scatter + cumsum (interval deltas), not a gather."""
     m = counts.shape[0]
     W = _WA
     out_rp = exclusive_cumsum(counts).astype(INDEX_DTYPE)
@@ -704,17 +717,31 @@ def _assemble_body(
         bv, bk = b
         return (jnp.where(bk, bv, av), ak | bk)
 
+    if use_pallas:
+        from .pallas_scan import cumsum_i32
+
+        _long_cumsum = partial(
+            cumsum_i32, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        _long_cumsum = jnp.cumsum
+
     filled, _ = jax.lax.associative_scan(ff, (d, nonempty), axis=0)
     prevd = jnp.concatenate([jnp.zeros((1,), d.dtype), filled[:-1]])
     dd = jnp.zeros((ocap,), INDEX_DTYPE)
     dd = dd.at[jnp.where(nonempty, starts, ocap)].add(
         jnp.where(nonempty, d - prevd, 0), mode="drop"
     )
-    idx = q + jnp.cumsum(dd)
+    idx = q + _long_cumsum(dd)
     if _stage == 0:
         return idx
 
     # interleaved window source: [nr, 2W] rows = [cols W | val bits W]
+    # NOTE: an unaligned `lax.gather` slice formulation (no straddle, no
+    # roll) measures 3.7x faster on sources that fit VMEM but collapses
+    # ~40x once the flat source exceeds it (tools/probe_wingather.py,
+    # 366 ms fused at s14) — aligned row takes + the VMEM align kernel
+    # are the scale-robust formulation.
     tpad = -(-flat_c.shape[0] // W) * W + 2 * W
     fc = jnp.concatenate(
         [flat_c, jnp.full((tpad - flat_c.shape[0],), ncols, jnp.int32)]
@@ -738,6 +765,29 @@ def _assemble_body(
             [jnp.take(src, wr, axis=0), jnp.take(src, wr + 1, axis=0)],
             axis=1,
         )  # [Q, 4W]
+        if use_pallas:
+            # VMEM-resident variable roll: the XLA path below pays
+            # log2(W) HBM round trips for the conditional rolls
+            from .pallas_sort import align_windows
+
+            qn = g.shape[0]
+            qpad = -(-qn // 8) * 8
+            if qpad != qn:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((qpad - qn, 4 * W), jnp.int32)]
+                )
+                off = jnp.concatenate(
+                    [off, jnp.zeros((qpad - qn,), off.dtype)]
+                )
+            gc, gvb = align_windows(
+                g,
+                off[:, None].astype(jnp.int32),
+                interpret=jax.default_backend() != "tpu",
+            )
+            return (
+                gc[:qn],
+                jax.lax.bitcast_convert_type(gvb[:qn], jnp.float32),
+            )
         gc = jnp.concatenate([g[:, :W], g[:, 2 * W : 3 * W]], axis=1)
         gv = jnp.concatenate([g[:, W : 2 * W], g[:, 3 * W :]], axis=1)
         gc = _roll_sel(gc, off, W)[:, :W]
@@ -792,7 +842,7 @@ def _assemble_body(
     dds = dds.at[jnp.where(nonempty, starts, ocap)].add(
         jnp.where(nonempty, ds - prevs, 0), mode="drop"
     )
-    start_q = jnp.cumsum(dds)
+    start_q = _long_cumsum(dds)
     fixed = ((q - start_q) < W).reshape(nwin, W)
     ccol = jnp.where(fixed, acc[:, :W], wc).reshape(-1)
     cval = jnp.where(

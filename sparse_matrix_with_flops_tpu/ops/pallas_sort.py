@@ -24,16 +24,24 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_esc import _bitonic_sort_lanes, _roll, _run_sums
 
 
-def _bitonic_sort_packed(key, val, width: int):
+def _bitonic_sort_packed(key, val, width: int, presorted: int = 1):
     """Bitonic sort with key+val stacked into one (2R, W) tile so each
     compare-exchange issues 2 rolls instead of 4 (roll bytes are the same;
-    instruction count halves)."""
+    instruction count halves).
+
+    ``presorted`` skips the first log2(presorted) stages: the caller
+    promises every aligned ``presorted``-lane run is already sorted, runs
+    alternating ascending/descending by run-index parity (even runs
+    ascending — the invariant this network leaves after its own stage
+    k=presorted).  ELL-ESC tiles are concatenations of column-sorted
+    B-row chunks, so with odd chunks lane-reversed the sort starts at
+    k=2*chunk — the W==chunk bins skip the network entirely."""
     r = key.shape[0]
     x = jnp.concatenate(
         [key, pltpu.bitcast(val, jnp.int32)], axis=0
     )  # (2R, W)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    k = 2
+    k = max(2, 2 * presorted)
     while k <= width:
         j = k // 2
         while j >= 1:
@@ -94,11 +102,14 @@ def _compact_left_packed(x, keep, width: int):
     return x
 
 
-def _sdc_kernel(tc_ref, tv_ref, kout_ref, vout_ref, *, W: int, ncols: int):
+def _sdc_kernel(
+    tc_ref, tv_ref, kout_ref, vout_ref, *, W: int, ncols: int,
+    presorted: int = 1,
+):
     col = tc_ref[:]
     val = tv_ref[:]
     r = col.shape[0]
-    col, val = _bitonic_sort_packed(col, val, W)
+    col, val = _bitonic_sort_packed(col, val, W, presorted=presorted)
     val = _run_sums(col, val, W)
     lane = jax.lax.broadcasted_iota(jnp.int32, col.shape, 1)
     nxt = _roll(col, -1, W)
@@ -114,17 +125,24 @@ def _sdc_kernel(tc_ref, tv_ref, kout_ref, vout_ref, *, W: int, ncols: int):
     )
 
 
-@partial(jax.jit, static_argnames=("ncols", "interpret", "rows_per_step"))
+@partial(
+    jax.jit,
+    static_argnames=("ncols", "interpret", "rows_per_step", "presorted"),
+)
 def sort_dedup_compact(
     tc: jax.Array,
     tv: jax.Array,
     ncols: int,
     interpret: bool = False,
     rows_per_step: int = 8,
+    presorted: int = 1,
 ):
-    """[R, W] product tile -> (compacted cols, summed vals); R % 8 == 0."""
+    """[R, W] product tile -> (compacted cols, summed vals); R % 8 == 0.
+
+    ``presorted > 1``: aligned presorted-lane runs are sorted, directions
+    alternating by run parity (see _bitonic_sort_packed)."""
     r, w = tc.shape
-    kern = partial(_sdc_kernel, W=w, ncols=ncols)
+    kern = partial(_sdc_kernel, W=w, ncols=ncols, presorted=presorted)
     grid = (r // rows_per_step,)
     blk = lambda g: (g, 0)
     return pl.pallas_call(
@@ -144,6 +162,66 @@ def sort_dedup_compact(
         ),
         interpret=interpret,
     )(tc, tv)
+
+
+def _align_kernel(g_ref, off_ref, c_ref, v_ref, *, W: int):
+    g = g_ref[:]  # (R, 4W) i32: [cols0 | valbits0 | cols1 | valbits1]
+    off = off_ref[:]  # (R, 1) i32 in [0, W)
+    r = g.shape[0]
+    gc = jnp.concatenate([g[:, :W], g[:, 2 * W : 3 * W]], axis=1)
+    gv = jnp.concatenate([g[:, W : 2 * W], g[:, 3 * W :]], axis=1)
+    x = jnp.concatenate([gc, gv], axis=0)  # (2R, 2W)
+    bit = 1
+    while bit < W:
+        sel = (off & bit) != 0
+        sel2 = jnp.concatenate([sel, sel], axis=0)
+        x = jnp.where(sel2, _roll(x, -bit, 2 * W), x)
+        bit *= 2
+    c_ref[:] = x[:r, :W]
+    v_ref[:] = x[r:, :W]
+
+
+@partial(jax.jit, static_argnames=("interpret", "rows_per_step"))
+def align_windows(
+    g: jax.Array,
+    off: jax.Array,
+    interpret: bool = False,
+    rows_per_step: int = 8,
+):
+    """Variable left-roll of straddled window pairs, VMEM-resident.
+
+    ``g`` is [Q, 4W] int32 — each row the concatenation of two adjacent
+    W-lane source windows in [cols | val-bits | cols | val-bits] order;
+    ``off`` is [Q, 1] with the within-window start offset.  Returns the
+    aligned ([Q, W] cols, [Q, W] val-bits) starting at ``off``.  The XLA
+    formulation pays log2(W) full HBM round trips for the conditional
+    rolls (~2.4 GB at s14); here the passes run in VMEM — one read, one
+    write (ops/ell_esc._assemble_body's window export).  An unaligned
+    `lax.gather` slice formulation beats this 3.7x on sources that fit
+    VMEM but collapses ~40x above it (tools/probe_wingather.py), so the
+    take+align pair is the production path."""
+    q, w4 = g.shape
+    w = w4 // 4
+    kern = partial(_align_kernel, W=w)
+    grid = (q // rows_per_step,)
+    blk = lambda i: (i, 0)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows_per_step, w4), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_step, 1), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows_per_step, w), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_step, w), blk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, w), jnp.int32),
+            jax.ShapeDtypeStruct((q, w), jnp.int32),
+        ),
+        interpret=interpret,
+    )(g, off)
 
 
 def _compact_rows_kernel(v_ref, kout_ref, vout_ref, *, N: int, ncols: int):

@@ -184,6 +184,68 @@ def test_pallas_sort_dedup_compact_matches_xla(rng):
             np.testing.assert_allclose(v[r, i], want[c], rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_sort_presorted_runs_matches_full_sort(rng):
+    # the ELL-ESC tile invariant: aligned `chunk`-lane runs sorted, odd
+    # runs lane-reversed (descending); presorted=chunk must equal the
+    # full sort on the same multiset
+    import jax.numpy as jnp
+    from sparse_matrix_with_flops_tpu.ops.pallas_sort import (
+        sort_dedup_compact,
+    )
+
+    ncols, chunk, W = 53, 8, 64
+    tc = rng.integers(0, ncols + 1, size=(16, W)).astype(np.int32)
+    tv = np.where(tc < ncols, rng.standard_normal((16, W)), 0.0).astype(
+        np.float32
+    )
+    # build the invariant: sort each chunk (sentinels sort to the tail),
+    # reverse odd chunks
+    order = np.argsort(tc.reshape(16, -1, chunk), axis=2, kind="stable")
+    tcs = np.take_along_axis(tc.reshape(16, -1, chunk), order, axis=2)
+    tvs = np.take_along_axis(tv.reshape(16, -1, chunk), order, axis=2)
+    tcs[:, 1::2] = tcs[:, 1::2, ::-1]
+    tvs[:, 1::2] = tvs[:, 1::2, ::-1]
+    kp, vp = sort_dedup_compact(
+        jnp.asarray(tcs.reshape(16, W)),
+        jnp.asarray(tvs.reshape(16, W)),
+        ncols,
+        interpret=True,
+        presorted=chunk,
+    )
+    kf, vf = sort_dedup_compact(
+        jnp.asarray(tc), jnp.asarray(tv), ncols, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(kp), np.asarray(kf))
+    np.testing.assert_allclose(
+        np.asarray(vp), np.asarray(vf), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_align_windows_matches_roll_select(rng):
+    import jax
+    import jax.numpy as jnp
+    from sparse_matrix_with_flops_tpu.ops.ell_esc import _roll_sel
+    from sparse_matrix_with_flops_tpu.ops.pallas_sort import align_windows
+
+    W = 16
+    q = 24
+    g = rng.integers(-100, 100, size=(q, 4 * W)).astype(np.int32)
+    off = rng.integers(0, W, size=(q,)).astype(np.int32)
+    gc_ref = np.concatenate([g[:, :W], g[:, 2 * W : 3 * W]], axis=1)
+    gv_ref = np.concatenate([g[:, W : 2 * W], g[:, 3 * W :]], axis=1)
+    want_c = np.asarray(
+        _roll_sel(jnp.asarray(gc_ref), jnp.asarray(off), W)[:, :W]
+    )
+    want_v = np.asarray(
+        _roll_sel(jnp.asarray(gv_ref), jnp.asarray(off), W)[:, :W]
+    )
+    got_c, got_v = align_windows(
+        jnp.asarray(g), jnp.asarray(off)[:, None], interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_c), want_c)
+    np.testing.assert_array_equal(np.asarray(got_v), want_v)
+
+
 def test_assembly_two_phase_path(rng):
     # two-phase tiles -> _flat_assemble (the 128-window roll-select
     # assembly with scatter-add row-head repair), small odd shapes

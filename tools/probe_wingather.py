@@ -100,10 +100,39 @@ def main():
             jax.lax.bitcast_convert_type(gv, jnp.float32)
         )
 
+    # (historical: a VMEM align kernel measured 5.01 ms here — beaten
+    # 3.7x by gather-slice and removed; see docs/ROOFLINE.md)
+
+    def gather_slice_arrays(x):
+        """Same as gather_slice but materializing the full [nq, W]
+        outputs (production consumes them downstream) instead of
+        reducing to a scalar inside the fused computation."""
+        p = (p0 + x.astype(jnp.int32))[:, None]
+        gc = jax.lax.gather(fc, p, dnums, slice_sizes=(W,), mode="clip")
+        gv = jax.lax.gather(fv, p, dnums, slice_sizes=(W,), mode="clip")
+        return gc, gv
+
+    def take2_only(x):
+        """Gather movement floor: two takes, no alignment."""
+        p = p0 + x.astype(jnp.int32)
+        wr = jnp.clip(p // W, 0, nr - 2)
+        g0 = jnp.take(src, wr, axis=0)
+        g1 = jnp.take(src, wr + 1, axis=0)
+        return jnp.sum(g0) + jnp.sum(g1)
+
+    def take1_only(x):
+        p = p0 + x.astype(jnp.int32)
+        wr = jnp.clip(p // W, 0, nr - 2)
+        g0 = jnp.take(src, wr, axis=0)
+        return jnp.sum(g0)
+
     for name, fn in [
         ("take-roll", take_roll),
         ("gather-slice", gather_slice),
         ("gather-2d", gather_2d),
+        ("gather-slice-arr", gather_slice_arrays),
+        ("take2-only", take2_only),
+        ("take1-only", take1_only),
     ]:
         try:
             ms = slope_bench(fn, ks=(1, 5))

@@ -11,7 +11,7 @@ Uses the `_stage` truncation hooks in ops/ell_esc.py to slope-time
          stage 1: + windowed gathers
          full   : + row-head repair + masks
 
-Usage: python tools/profile_fused.py [scale] [edge_factor] [chunk]
+Usage: python tools/profile_fused.py [scale] [edge_factor] [chunk] [max_w]
 """
 
 import os
@@ -40,9 +40,15 @@ def main():
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     ef = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    max_w = int(sys.argv[4]) if len(sys.argv) > 4 else None
     a = rmat_csr(scale, edge_factor=ef, seed=7, weights="random")
     oflops, _ = spgemm_upper_bounds(a, a)
-    plan = plan_ell(a, a, **({"chunk": chunk} if chunk else {}))
+    kw = {}
+    if chunk:
+        kw["chunk"] = chunk
+    if max_w:
+        kw["max_w"] = max_w
+    plan = plan_ell(a, a, **kw)
     up = _use_pallas_default()
     dev_a = jax.device_put(a)
     print(
@@ -71,8 +77,18 @@ def main():
 
     def asm_stage(stage):
         def step(x):
+            # perturb counts too (runtime-zero): stage 0's idx path
+            # depends only on counts/flat_base — values-only perturbation
+            # lets XLA hoist the whole stage out of the scan (slope 0)
             return _assemble_body(
-                fc, fv + x, counts, fb, plan.ncols, cap, up, _stage=stage
+                fc,
+                fv + x,
+                counts + x.astype(counts.dtype),
+                fb,
+                plan.ncols,
+                cap,
+                up,
+                _stage=stage,
             )
 
         return step
