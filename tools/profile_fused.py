@@ -12,6 +12,7 @@ Uses the `_stage` truncation hooks in ops/ell_esc.py to slope-time
          full   : + row-head repair + masks
 
 Usage: python tools/profile_fused.py [scale] [edge_factor] [chunk] [max_w]
+         [stage-substring-filter, e.g. "fused" or "tiles s2,asm"]
 """
 
 import os
@@ -41,6 +42,7 @@ def main():
     ef = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else None
     max_w = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    stage_filter = sys.argv[5].split(",") if len(sys.argv) > 5 else None
     a = rmat_csr(scale, edge_factor=ef, seed=7, weights="random")
     oflops, _ = spgemm_upper_bounds(a, a)
     kw = {}
@@ -113,6 +115,8 @@ def main():
         ("asm full", asm_stage(99)),
         ("fused total", fused_step),
     ]:
+        if stage_filter and not any(s in name for s in stage_filter):
+            continue
         try:
             ms = slope_bench(step)
             rows.append((name, ms))
