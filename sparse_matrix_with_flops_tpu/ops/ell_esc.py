@@ -33,6 +33,7 @@ ESC on their products (the 'olarge' escape, mindex2-cuda/\\:23-143).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -76,6 +77,14 @@ class EllPlan:
     row_bin: np.ndarray  # int32[rows]: bin id, -1 none, -2 huge
     row_slot: np.ndarray  # int32[rows]: slot in its bin / huge list
     chunk: int = 128  # row-gather granularity this plan was built with
+    # hub B-densify layout (host-side: B's structure is static, so the
+    # scatter coordinates are plan constants; entries are pre-partitioned
+    # by column slab so total scatter count stays nnz(B) regardless of
+    # slab count).  None when there are no huge rows.
+    hub_slab: int = 0
+    hub_eorder: np.ndarray | None = None  # int32[bnnz] entry ids, slab-major
+    hub_lin: np.ndarray | None = None  # int32[bnnz] row*slab+local_col
+    hub_sptr: np.ndarray | None = None  # int64[n_slabs+1] entry offsets
 
     __hash__ = object.__hash__
 
@@ -248,6 +257,32 @@ def plan_ell(
     )
     huge_flops = max(int(rf[huge].sum()), 1) if huge.size else 1
 
+    # hub B-densify layout: pick the column-slab width from an HBM budget,
+    # then pre-partition B's entries by slab ON HOST (structure is static).
+    # Each slab's scatter then touches only its own entries — the old
+    # per-slab full-capacity scatter paid nnz(B) descriptors PER SLAB
+    # (measured ~5-6.5 ms at s14; tools/probe_bdense.py).
+    hub_slab, hub_eorder, hub_lin, hub_sptr = 0, None, None, None
+    if huge.size:
+        K, N = b.rows, b.ncols
+        budget = int(os.environ.get("SMF_HUB_SLAB_BYTES", str(1 << 30)))
+        slab = N
+        while K * slab * 4 > budget and slab > 256:
+            slab = -(-slab // 2)
+        n_slabs = -(-N // slab)
+        bnnz = int(brp[-1])
+        bcol = np.asarray(b.col_ind)[:bnnz].astype(np.int64)
+        berow = np.repeat(np.arange(b.rows, dtype=np.int64), bcounts)
+        sl_id = bcol // slab
+        order = np.argsort(sl_id, kind="stable")
+        lin = berow[order] * slab + (bcol[order] - sl_id[order] * slab)
+        hub_sptr = np.searchsorted(
+            sl_id[order], np.arange(n_slabs + 1)
+        ).astype(np.int64)
+        hub_slab = int(slab)
+        hub_eorder = order.astype(np.int32)
+        hub_lin = lin.astype(np.int32)  # K*slab <= budget/4 < 2^31
+
     out_cap = int(np.minimum(rf, b.ncols).sum())
     return EllPlan(
         b_classes=tuple(b_classes),
@@ -259,6 +294,10 @@ def plan_ell(
         huge_rp=huge_rp.astype(np.int32),
         huge_src=huge_src,
         huge_flops=huge_flops,
+        hub_slab=hub_slab,
+        hub_eorder=hub_eorder,
+        hub_lin=hub_lin,
+        hub_sptr=hub_sptr,
         rows=m,
         ncols=b.ncols,
         out_cap=max(out_cap, 1),
@@ -542,43 +581,38 @@ def _tiles_impl(
     if plan.huge_rows.size:
         H = plan.huge_rows.size
         K, N = b.rows, ncols
-        # B densified in column slabs, huge rows processed in row chunks,
-        # both to bound peak HBM (scale 16 exceeds 15.75G otherwise)
-        slab = N
-        while K * slab * 4 > (256 << 20) and slab > 256:
-            slab = -(-slab // 2)
+        # B densified in column slabs (width picked at plan time from an
+        # HBM budget — bounds peak memory at scale 16).  The scatter
+        # coordinates are HOST constants (B's structure is static in the
+        # plan) pre-partitioned by slab, so densify costs exactly nnz(B)
+        # scatter descriptors total, not nnz(B) x n_slabs.
+        slab = plan.hub_slab
         n_slabs = -(-N // slab)
-        b_erow = b.entry_rows()
-        b_slabs = []
-        # linear-index scatter-SET (unique CSR coordinates; dropped slots
-        # get distinct out-of-range indices so the uniqueness promise
-        # holds): measured 6.4 vs 9.7 ms for the 2-D scatter-add at s14
-        # (tools/probe_bdense.py)
-        slot = jnp.arange(b.capacity, dtype=INDEX_DTYPE)
-        for sl in range(n_slabs):
-            col_local = b.col_ind - sl * slab
-            ok = (
-                b.entry_valid()
-                & (col_local >= 0)
-                & (col_local < slab)
-                & (b_erow < K)
-            )
-            lin = jnp.where(ok, b_erow * slab + col_local, K * slab + slot)
-            b_slabs.append(
+        bnnz = int(plan.hub_sptr[-1])
+
+        def _b_slab(sl):
+            e0, e1 = int(plan.hub_sptr[sl]), int(plan.hub_sptr[sl + 1])
+            lin = jnp.asarray(plan.hub_lin[e0:e1])
+            if n_slabs == 1:
+                # single slab: hub_eorder is the identity — scatter
+                # b.values directly, no gather
+                vals = b.values[:bnnz]
+            else:
+                vals = jnp.take(b.values, jnp.asarray(plan.hub_eorder[e0:e1]))
+            return (
                 jnp.zeros((K * slab,), QVALUE_DTYPE)
                 .at[lin]
-                .set(b.values, mode="drop", unique_indices=True)
+                .set(vals, mode="promise_in_bounds", unique_indices=True)
                 .reshape(K, slab)
             )
+
         # NOTE: densification cannot represent explicit zeros, so products
         # that cancel to exactly 0.0 are dropped for huge rows (raw-equal
         # semantics; the tile path keeps them).
-        if _stage == 3:  # profiling cutoff: B densify only
-            return tuple(jnp.sum(bd) for bd in b_slabs)
         HC = 1024 if H > 1024 else H  # huge-row chunk
         ncp = lay["huge_stride"]  # 128-aligned flat stride per hub row
         hlens = np.diff(plan.huge_rp)
-        hcounts = []
+        a_ds = []
         for h0 in range(0, H, HC):
             h1 = min(h0 + HC, H)
             hc = h1 - h0
@@ -594,13 +628,30 @@ def _tiles_impl(
             a_d = a_d.at[
                 rows_rep, jnp.clip(jnp.take(a.col_ind, src), 0, K - 1)
             ].add(jnp.take(a.values, src))
-            c_d = jnp.concatenate(
-                [
+            a_ds.append((hc, hcp, a_d))
+        # slab-OUTER matmul loop: each slab is built, consumed by every
+        # row chunk, then dead — XLA frees it, so peak HBM holds one
+        # slab + the (H, N) results, never the K x N dense B.
+        parts = [[] for _ in a_ds]
+        stage3 = []
+        for sl in range(n_slabs):
+            bd = _b_slab(sl)
+            if _stage == 3:  # profiling cutoff: B densify only
+                stage3.append(jnp.sum(bd))
+                continue
+            for pi, (_hc, _hcp, a_d) in enumerate(a_ds):
+                parts[pi].append(
                     jnp.dot(a_d, bd, preferred_element_type=jnp.float32)
-                    for bd in b_slabs
-                ],
-                axis=1,
-            )[:, :N]
+                )
+        if _stage == 3:
+            return tuple(stage3)
+        hcounts = []
+        for pi, (hc, hcp, _a_d) in enumerate(a_ds):
+            c_d = (
+                jnp.concatenate(parts[pi], axis=1)[:, :N]
+                if n_slabs > 1
+                else parts[pi][0][:, :N]
+            )
             if _stage == 4:  # profiling cutoff: + A densify + matmul
                 hcounts.append(jnp.sum(c_d))
                 continue
@@ -697,44 +748,38 @@ def _assemble_body(
     flat_base, rolled right by starts%128, split across the two window
     rows it lands in, and scatter-ADDed under disjoint masks (each
     output slot belongs to exactly one row head).  No element-granular
-    descriptor is issued anywhere.  The per-slot source index comes
-    from a scatter + cumsum (interval deltas), not a gather."""
+    descriptor is issued anywhere.  Everything row-indexed runs at
+    WINDOW granularity (nnz(C)/128): the per-window source position is
+    ``kW + d[r(k)]`` with ``r(k)`` (the covering row of each window
+    start) from an m-scale max-scatter + log-step cummax, and the
+    head-slot mask rides the repair scatter as a third plane — no
+    nnz(C)-scale cumsum is ever materialised (the previous
+    interval-delta formulation paid two; measured ~11.8 ms -> the
+    window-granular one at s14)."""
     m = counts.shape[0]
     W = _WA
     out_rp = exclusive_cumsum(counts).astype(INDEX_DTYPE)
     ocap = -(-out_cap // W) * W
-    q = jnp.arange(ocap, dtype=INDEX_DTYPE)
+    nwin = ocap // W
     total = out_rp[-1]
     nonempty = counts > 0
     starts = out_rp[:-1]
-
-    # source index per slot: idx = q + d[row(q)], with d[row] spread via
-    # interval-delta scatter + cumsum (no gathers).
     d = jnp.where(nonempty, flat_base - starts, 0)
 
-    def ff(a, b):
-        av, ak = a
-        bv, bk = b
-        return (jnp.where(bk, bv, av), ak | bk)
-
-    if use_pallas:
-        from .pallas_scan import cumsum_i32
-
-        _long_cumsum = partial(
-            cumsum_i32, interpret=jax.default_backend() != "tpu"
-        )
-    else:
-        _long_cumsum = jnp.cumsum
-
-    filled, _ = jax.lax.associative_scan(ff, (d, nonempty), axis=0)
-    prevd = jnp.concatenate([jnp.zeros((1,), d.dtype), filled[:-1]])
-    dd = jnp.zeros((ocap,), INDEX_DTYPE)
-    dd = dd.at[jnp.where(nonempty, starts, ocap)].add(
-        jnp.where(nonempty, d - prevd, 0), mode="drop"
+    # covering row of each window start: r(k) = last nonempty row with
+    # start <= k*W.  Rows scatter (rowid+1) with MAX into the first
+    # window they cover (ceil(start/W)); a log-step cummax spreads it.
+    rid = jnp.arange(m, dtype=INDEX_DTYPE)
+    cw = jnp.where(nonempty, (starts + W - 1) // W, nwin)
+    rmax = jnp.zeros((nwin,), INDEX_DTYPE)
+    rmax = rmax.at[cw].max(
+        jnp.where(nonempty, rid + 1, 0), mode="drop"
     )
-    idx = q + _long_cumsum(dd)
+    rwin = jax.lax.associative_scan(jnp.maximum, rmax)
+    rwin = jnp.maximum(rwin - 1, 0)
+    idx0 = jnp.arange(nwin, dtype=INDEX_DTYPE) * W + jnp.take(d, rwin)
     if _stage == 0:
-        return idx
+        return idx0
 
     # interleaved window source: [nr, 2W] rows = [cols W | val bits W]
     # NOTE: an unaligned `lax.gather` slice formulation (no straddle, no
@@ -794,7 +839,7 @@ def _assemble_body(
         gv = _roll_sel(gv, off, W)[:, :W]
         return gc, jax.lax.bitcast_convert_type(gv, jnp.float32)
 
-    wc, wv = win_gather(idx[::W])  # [ocap/W, W]
+    wc, wv = win_gather(idx0)  # [ocap/W, W]
     if _stage == 1:
         return wc.reshape(-1), wv.reshape(-1)
 
@@ -803,13 +848,10 @@ def _assemble_body(
     # flat_base, rolled right by t = starts % W, scatter-added into the
     # two straddled window rows under disjoint masks.  Scatter rows are
     # the off-law primitive on this chip (~6x slower per descriptor than
-    # gathers), so cols+val-bits interleave into ONE (m, 2W) scatter
-    # source per straddle side (2 scatters total), and the repaired-slot
-    # mask is computed analytically — slot q is a head slot iff its
-    # in-row offset q - start(row(q)) < W, with start(row(q)) spread by
-    # the same interval-delta cumsum as ``d`` — instead of scattering
-    # mask counts.
-    nwin = ocap // W
+    # gathers), so cols+val-bits+head-mask interleave into ONE (m, 3W)
+    # scatter source per straddle side (2 scatters total); the mask
+    # plane IS the repaired-slot mask — no per-slot start positions are
+    # ever spread.
     fix_c, fix_v = win_gather(jnp.where(nonempty, flat_base, 0))
     lane = jnp.arange(W, dtype=INDEX_DTYPE)[None, :]
     okf = nonempty[:, None] & (lane < counts[:, None])
@@ -826,32 +868,33 @@ def _assemble_body(
     tgt_a = jnp.where(nonempty, q0, nwin)
     tgt_b = jnp.where(nonempty & (t > 0), q0 + 1, nwin)
     src_a = jnp.concatenate(
-        [jnp.where(m_a, rc, 0), jnp.where(m_a, rvb, 0)], axis=1
+        [
+            jnp.where(m_a, rc, 0),
+            jnp.where(m_a, rvb, 0),
+            m_a.astype(jnp.int32),
+        ],
+        axis=1,
     )
     src_b = jnp.concatenate(
-        [jnp.where(m_b, rc, 0), jnp.where(m_b, rvb, 0)], axis=1
+        [
+            jnp.where(m_b, rc, 0),
+            jnp.where(m_b, rvb, 0),
+            m_b.astype(jnp.int32),
+        ],
+        axis=1,
     )
-    acc = jnp.zeros((nwin, 2 * W), jnp.int32)
+    acc = jnp.zeros((nwin, 3 * W), jnp.int32)
     acc = acc.at[tgt_a].add(src_a, mode="drop")
     acc = acc.at[tgt_b].add(src_b, mode="drop")
-    # spread starts across slots (interval-delta scatter + cumsum)
-    ds = jnp.where(nonempty, starts, 0)
-    filled_s, _ = jax.lax.associative_scan(ff, (ds, nonempty), axis=0)
-    prevs = jnp.concatenate([jnp.zeros((1,), ds.dtype), filled_s[:-1]])
-    dds = jnp.zeros((ocap,), INDEX_DTYPE)
-    dds = dds.at[jnp.where(nonempty, starts, ocap)].add(
-        jnp.where(nonempty, ds - prevs, 0), mode="drop"
-    )
-    start_q = _long_cumsum(dds)
-    fixed = ((q - start_q) < W).reshape(nwin, W)
+    fixed = acc[:, 2 * W :] > 0
     ccol = jnp.where(fixed, acc[:, :W], wc).reshape(-1)
     cval = jnp.where(
         fixed,
-        jax.lax.bitcast_convert_type(acc[:, W:], jnp.float32),
+        jax.lax.bitcast_convert_type(acc[:, W : 2 * W], jnp.float32),
         wv,
     ).reshape(-1)
 
-    qvalid = q < total
+    qvalid = jnp.arange(ocap, dtype=INDEX_DTYPE) < total
     ccol = jnp.where(qvalid, ccol, ncols).astype(INDEX_DTYPE)
     cval = jnp.where(qvalid, cval, 0.0).astype(QVALUE_DTYPE)
     return CSR(jnp.minimum(out_rp, ocap), ccol, cval, ncols)

@@ -89,6 +89,13 @@ def main():
                 "caveat": (
                     "virtual CPU mesh: validates the collective program "
                     "and scaling SHAPE, not absolute TPU time"
+                    + (
+                        f"; {nd} virtual devices OVERSUBSCRIBE the host's "
+                        f"{os.cpu_count()} cores — efficiency above that "
+                        "point measures host contention, not the program"
+                        if nd > (os.cpu_count() or 1)
+                        else ""
+                    )
                 )
                 if platform == "cpu"
                 else "",
