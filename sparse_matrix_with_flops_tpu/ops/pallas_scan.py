@@ -1,7 +1,7 @@
 """Pallas single-pass prefix scan for long 1-D int32 arrays.
 
 XLA lowers a long ``jnp.cumsum`` to O(log n) shifted-add passes, each a
-full HBM round trip — ~24 passes at the assembly path's out_cap scale.
+full HBM round trip — ~24 passes at nnz(C) scale.
 This kernel reads and writes the array ONCE: the sequential TPU grid
 carries the running total in SMEM scratch across block steps, and each
 block does its local scan entirely in VMEM (lane-axis Hillis-Steele +

@@ -297,3 +297,44 @@ def test_ell_esc_single_entry():
             want._drop_explicit_zeros(), tol=1e-6
         )
     )
+
+
+@pytest.mark.parametrize("max_w", [512, 128])
+def test_assembly_window_boundaries(rng, max_w):
+    # crafted for the WINDOW-granular assembly (one window = 128 slots):
+    # a row with exactly 128 nnz ending on a window boundary, a row
+    # START exactly window-aligned (t == 0), a >2-window row (300 nnz),
+    # a run of empty rows, and single-nnz rows — every repair-scatter
+    # branch (m_a only, m_a+m_b, multi-window interior) is hit.
+    # max_w=128 additionally pushes the wide rows through the dense hub.
+    k, n = 12, 512
+    lens = [128, 0, 0, 0, 300, 1, 64, 0, 129, 2, 0, 127]
+    brp = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    bcols = np.concatenate(
+        [np.sort(rng.choice(n, size=l, replace=False)) for l in lens if l]
+    ).astype(np.int32)
+    bvals = rng.standard_normal(brp[-1]).astype(np.float32)
+    b = CSR.from_arrays(brp, bcols, bvals, ncols=n)
+    # A = I selects each B row once -> C == B, counts == lens
+    arp = np.arange(k + 1, dtype=np.int32)
+    a = CSR.from_arrays(
+        arp,
+        np.arange(k, dtype=np.int32),
+        np.ones(k, np.float32),
+        ncols=k,
+    )
+    plan = plan_ell(a, b, chunk=64, max_w=max_w)
+    got = spgemm_ell(a, b, plan)
+    want = spgemm_dense_oracle(a, b)
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-5
+        )
+    )
+    # second call exercises the fused single-dispatch bucket path
+    got2 = spgemm_ell(a, b, plan)
+    assert bool(
+        got2._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-5
+        )
+    )

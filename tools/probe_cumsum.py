@@ -1,10 +1,11 @@
 """Slope-probe: XLA jnp.cumsum vs Pallas block-scan on long i32 arrays.
 
-The assembly path (ops/ell_esc._assemble_body) runs two ~out_cap-long
-int32 cumsums (slot-source deltas + row-start spread).  XLA lowers long
-cumsums to O(log n) shifted-add passes over HBM; a sequential-grid
-Pallas scan does one read + one write.  Measures both at s14-like and
-s16-like sizes.
+XLA lowers long cumsums to O(log n) shifted-add passes over HBM; the
+sequential-grid Pallas scan (ops/pallas_scan.cumsum_i32 — the device-
+scale prefixSum64 counterpart) does one read + one write.  Measures
+both at s14-like and s16-like sizes.  (The flat-CSR assembly used to
+run two nnz(C)-scale cumsums; it is window-granular now and runs
+none — this probe motivated that redesign.)
 
 Usage: python tools/probe_cumsum.py
 """

@@ -7,9 +7,9 @@ Uses the `_stage` truncation hooks in ops/ell_esc.py to slope-time
          stage 1: + per-bin tile chunk gathers + scale
          stage 2: + per-bin sort/dedup/compact
          full   : + hub dense path + counts + concat
-  asm    stage 0: interval-delta cumsum -> per-slot source idx
+  asm    stage 0: per-WINDOW source idx (m-scale max-scatter + cummax)
          stage 1: + windowed gathers
-         full   : + row-head repair + masks
+         full   : + row-head repair (mask plane rides the scatter)
 
 Usage: python tools/profile_fused.py [scale] [edge_factor] [chunk] [max_w]
          [stage-substring-filter, e.g. "fused" or "tiles s2,asm"]
