@@ -59,8 +59,6 @@ class EllPlan:
 
     # B re-layout: one ELL array per segment-width class
     b_classes: tuple  # tuple[(S, np.int32[rows_S] b_row_ids)]
-    # expansion: per class, the A entries whose B row is in that class
-    ent_classes: tuple  # tuple[(S, np.int32[E_S] a_entry_idx, np.int32[E_S] b_slot)]
     # chunk base of each class segment region in the global chunk array
     class_chunk_base: tuple  # int per class
     total_chunks: int  # incl. 1 sentinel chunk at index total_chunks-1
@@ -151,7 +149,6 @@ def plan_ell(
     # ---- chunk layout over the B-ELL class arrays -----------------------
     # tile gathers read B-ELL chunks DIRECTLY (values scaled by the A value
     # per chunk afterwards) — no intermediate per-entry product copy.
-    ent_classes = ()  # kept for dataclass compat; expansion needs no lists
     class_chunk_base = []
     chunk_base = 0
     for ci, (S, b_rows) in enumerate(b_classes):
@@ -286,7 +283,6 @@ def plan_ell(
     out_cap = int(np.minimum(rf, b.ncols).sum())
     return EllPlan(
         b_classes=tuple(b_classes),
-        ent_classes=tuple(ent_classes),
         class_chunk_base=tuple(class_chunk_base),
         total_chunks=total_chunks,
         bins=tuple(bins),
