@@ -585,6 +585,11 @@ def _tiles_impl(
         slab = plan.hub_slab
         n_slabs = -(-N // slab)
         bnnz = int(plan.hub_sptr[-1])
+        # opt-in bf16 MXU inputs for the hub matmul (4x MXU rate on
+        # v5e; accumulation stays f32 via preferred_element_type).
+        # Read at trace time — a bench knob, not a per-call switch.
+        hub_bf16 = os.environ.get("SMF_HUB_BF16", "0") == "1"
+        mxu_dt = jnp.bfloat16 if hub_bf16 else QVALUE_DTYPE
 
         def _b_slab(sl):
             e0, e1 = int(plan.hub_sptr[sl]), int(plan.hub_sptr[sl + 1])
@@ -624,7 +629,7 @@ def _tiles_impl(
             a_d = a_d.at[
                 rows_rep, jnp.clip(jnp.take(a.col_ind, src), 0, K - 1)
             ].add(jnp.take(a.values, src))
-            a_ds.append((hc, hcp, a_d))
+            a_ds.append((hc, hcp, a_d.astype(mxu_dt)))
         # slab-OUTER matmul loop: each slab is built, consumed by every
         # row chunk, then dead — XLA frees it, so peak HBM holds one
         # slab + the (H, N) results, never the K x N dense B.
@@ -637,7 +642,11 @@ def _tiles_impl(
                 continue
             for pi, (_hc, _hcp, a_d) in enumerate(a_ds):
                 parts[pi].append(
-                    jnp.dot(a_d, bd, preferred_element_type=jnp.float32)
+                    jnp.dot(
+                        a_d,
+                        bd.astype(mxu_dt),
+                        preferred_element_type=jnp.float32,
+                    )
                 )
         if _stage == 3:
             return tuple(stage3)
