@@ -23,6 +23,19 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    Every retained CPU executable holds mmap'd JIT code pages; across the
+    full suite the process crosses vm.max_map_count (65530) and LLVM
+    segfaults/aborts mid-compile (observed at ~150 tests in).  Clearing
+    per module caps the map count; cross-module jit cache hits are rare
+    (different shapes), so the time cost is noise."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
