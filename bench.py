@@ -23,8 +23,32 @@ import time
 import numpy as np
 
 
+def _axon_relay_down() -> bool:
+    """The axon pool relay serves RPCs on 127.0.0.1:8083; a refused
+    connect means the tunnel is down and backend init would hang ~30 min
+    before raising UNAVAILABLE.  Probe it cheaply so the bench degrades
+    to the CPU backend instead of crashing the driver run."""
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return False
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=3):
+            return False
+    except OSError:
+        return True
+
+
 def main() -> None:
     import jax
+
+    if _axon_relay_down():
+        print(
+            "bench.py: axon relay 127.0.0.1:8083 refused — falling back "
+            "to the CPU backend (timing NOT comparable to TPU rounds)",
+            flush=True,
+        )
+        jax.config.update("jax_platforms", "cpu")
 
     from sparse_matrix_with_flops_tpu.formats.csr import CSR
     from sparse_matrix_with_flops_tpu.ops.ell_esc import (
