@@ -658,7 +658,9 @@ def _tiles_impl(
                 else parts[pi][0][:, :N]
             )
             if _stage == 4:  # profiling cutoff: + A densify + matmul
-                hcounts.append(jnp.sum(c_d))
+                # sum(c_d^2): a plain sum lets XLA factor sum(A@B) into
+                # sum-of-row-sums and skip the matmul entirely
+                hcounts.append(jnp.sum(c_d * c_d))
                 continue
             if ncp > N:
                 c_d = jnp.concatenate(
@@ -674,7 +676,11 @@ def _tiles_impl(
             # widths past the VMEM-block budget.
             from .pallas_sort import compact_nonzero_rows
 
-            if ncp <= 65536:
+            # scoped-VMEM budget: the kernel's log-shift temps need
+            # ~13 MB at width 32768 and ~26 MB at 65536 — past the 16 MB
+            # scoped limit (measured compile OOM at s16, 2026-08-19), so
+            # wider rows take the XLA lane-sort fallback.
+            if ncp <= 32768:
                 key, vals = compact_nonzero_rows(
                     c_d, N, interpret=jax.default_backend() != "tpu"
                 )
@@ -694,6 +700,12 @@ def _tiles_impl(
             vals_parts.append(vals[:hc].reshape(-1))
         if _stage == 4:
             return tuple(hcounts)
+        if _stage == 5:  # profiling cutoff: + hub compaction (no concat)
+            return (
+                tuple(jnp.sum(p.astype(jnp.float32)) for p in cols_parts),
+                tuple(jnp.sum(p) for p in vals_parts),
+                tuple(jnp.sum(h) for h in hcounts),
+            )
         counts = counts.at[jnp.asarray(plan.huge_rows)].set(
             jnp.concatenate(hcounts), mode="drop"
         )
@@ -753,14 +765,14 @@ def _assemble_body(
     flat_base, rolled right by starts%128, split across the two window
     rows it lands in, and scatter-ADDed under disjoint masks (each
     output slot belongs to exactly one row head).  No element-granular
-    descriptor is issued anywhere.  Everything row-indexed runs at
-    WINDOW granularity (nnz(C)/128): the per-window source position is
+    descriptor is issued anywhere.  The per-window source position is
     ``kW + d[r(k)]`` with ``r(k)`` (the covering row of each window
-    start) from an m-scale max-scatter + log-step cummax, and the
-    head-slot mask rides the repair scatter as a third plane — no
-    nnz(C)-scale cumsum is ever materialised (the previous
-    interval-delta formulation paid two; measured ~11.8 ms -> the
-    window-granular one at s14)."""
+    start) from an m-scale max-scatter + log-step cummax — window
+    granularity, no nnz(C)-scale index cumsum.  The head-slot MASK does
+    use one nnz(C)-scale interval-delta cumsum: that is bandwidth-class
+    (~0.3 ms at s14) whereas riding the mask on the repair scatter as a
+    third plane widens the row scatters 2W -> 3W and measured ~+3 ms
+    (docs/ROOFLINE.md: row scatters bill per 128-lane chunk)."""
     m = counts.shape[0]
     W = _WA
     out_rp = exclusive_cumsum(counts).astype(INDEX_DTYPE)
@@ -873,33 +885,53 @@ def _assemble_body(
     tgt_a = jnp.where(nonempty, q0, nwin)
     tgt_b = jnp.where(nonempty & (t > 0), q0 + 1, nwin)
     src_a = jnp.concatenate(
-        [
-            jnp.where(m_a, rc, 0),
-            jnp.where(m_a, rvb, 0),
-            m_a.astype(jnp.int32),
-        ],
-        axis=1,
+        [jnp.where(m_a, rc, 0), jnp.where(m_a, rvb, 0)], axis=1
     )
     src_b = jnp.concatenate(
-        [
-            jnp.where(m_b, rc, 0),
-            jnp.where(m_b, rvb, 0),
-            m_b.astype(jnp.int32),
-        ],
-        axis=1,
+        [jnp.where(m_b, rc, 0), jnp.where(m_b, rvb, 0)], axis=1
     )
-    acc = jnp.zeros((nwin, 3 * W), jnp.int32)
+    acc = jnp.zeros((nwin, 2 * W), jnp.int32)
     acc = acc.at[tgt_a].add(src_a, mode="drop")
     acc = acc.at[tgt_b].add(src_b, mode="drop")
-    fixed = acc[:, 2 * W :] > 0
+    # head-slot mask computed analytically — slot q is repaired iff its
+    # in-row offset q - start(row(q)) < W, with start(row(q)) spread by
+    # an interval-delta scatter + cumsum.  A third mask plane riding the
+    # repair scatter was tried instead and REVERTED: widening the
+    # (m, 2W) scatter source to (m, 3W) cost ~+3 ms at s14 (row scatters
+    # bill per 128-lane chunk) while the nnz(C)-scale cumsum here is
+    # bandwidth-class (~0.3 ms; docs/ROOFLINE.md).
+    if use_pallas:
+        from .pallas_scan import cumsum_i32
+
+        _long_cumsum = partial(
+            cumsum_i32, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        _long_cumsum = jnp.cumsum
+
+    def ff(x, y):
+        xv, xk = x
+        yv, yk = y
+        return (jnp.where(yk, yv, xv), xk | yk)
+
+    q = jnp.arange(ocap, dtype=INDEX_DTYPE)
+    ds = jnp.where(nonempty, starts, 0)
+    filled_s, _ = jax.lax.associative_scan(ff, (ds, nonempty), axis=0)
+    prevs = jnp.concatenate([jnp.zeros((1,), ds.dtype), filled_s[:-1]])
+    dds = jnp.zeros((ocap,), INDEX_DTYPE)
+    dds = dds.at[jnp.where(nonempty, starts, ocap)].add(
+        jnp.where(nonempty, ds - prevs, 0), mode="drop"
+    )
+    start_q = _long_cumsum(dds)
+    fixed = ((q - start_q) < W).reshape(nwin, W)
     ccol = jnp.where(fixed, acc[:, :W], wc).reshape(-1)
     cval = jnp.where(
         fixed,
-        jax.lax.bitcast_convert_type(acc[:, W : 2 * W], jnp.float32),
+        jax.lax.bitcast_convert_type(acc[:, W:], jnp.float32),
         wv,
     ).reshape(-1)
 
-    qvalid = jnp.arange(ocap, dtype=INDEX_DTYPE) < total
+    qvalid = q < total
     ccol = jnp.where(qvalid, ccol, ncols).astype(INDEX_DTYPE)
     cval = jnp.where(qvalid, cval, 0.0).astype(QVALUE_DTYPE)
     return CSR(jnp.minimum(out_rp, ocap), ccol, cval, ncols)

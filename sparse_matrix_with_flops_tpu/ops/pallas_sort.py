@@ -21,7 +21,56 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_esc import _bitonic_sort_lanes, _roll, _run_sums
+
+# ---------------------------------------------------------------------------
+# in-kernel lane-axis primitives (formerly ops/pallas_esc.py, whose
+# VMEM-resident-B tile pipeline was deleted after failing Mosaic
+# compilation on real v5e hardware at every tested scale — see
+# docs/ROUND2_NOTES.md "pallas_esc decision")
+# ---------------------------------------------------------------------------
+def _roll(x, shift: int, width: int):
+    """pltpu.roll with negative shifts normalised (roll requires >= 0)."""
+    return pltpu.roll(x, shift % width, axis=1)
+
+
+def _bitonic_sort_lanes(key, val, width: int):
+    """Ascending bitonic sort of each row's ``width`` lanes by ``key``,
+    carrying ``val``.  Pure roll/select VPU ops (bitonic_sort.cuh role)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    k = 2
+    while k <= width:
+        j = k // 2
+        while j >= 1:
+            is_lo = (lane & j) == 0
+            pk = jnp.where(
+                is_lo, _roll(key, -j, width), _roll(key, j, width)
+            )
+            pv = jnp.where(
+                is_lo, _roll(val, -j, width), _roll(val, j, width)
+            )
+            asc = (lane & k) == 0
+            lo_k = jnp.where(is_lo, key, pk)
+            hi_k = jnp.where(is_lo, pk, key)
+            # logical form: Mosaic rejects select between i1 vectors
+            do_swap = (asc & (lo_k > hi_k)) | (~asc & (lo_k < hi_k))
+            key = jnp.where(do_swap, pk, key)
+            val = jnp.where(do_swap, pv, val)
+            j //= 2
+        k *= 2
+    return key, val
+
+
+def _run_sums(col, val, width: int):
+    """Inclusive within-run prefix sums along lanes (runs = equal sorted
+    cols); the lane-parallel ReduceByKey (mindex2-cuda/kernel.cu:248)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, col.shape, 1)
+    d = 1
+    while d < width:
+        pc = pltpu.roll(col, d, axis=1)
+        pv = pltpu.roll(val, d, axis=1)
+        val = val + jnp.where((lane >= d) & (pc == col), pv, 0.0)
+        d *= 2
+    return val
 
 
 def _bitonic_sort_packed(key, val, width: int, presorted: int = 1):

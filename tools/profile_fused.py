@@ -109,6 +109,7 @@ def main():
         ("tiles s2 +sort", tiles_stage(2)),
         ("tiles s3 +bdense", tiles_stage(3)),
         ("tiles s4 +matmul", tiles_stage(4)),
+        ("tiles s5 +compact", tiles_stage(5)),
         ("tiles full", tiles_stage(99)),
         ("asm s0 idx", asm_stage(0)),
         ("asm s1 +windows", asm_stage(1)),
