@@ -709,6 +709,15 @@ def _tiles_impl(
         counts = counts.at[jnp.asarray(plan.huge_rows)].set(
             jnp.concatenate(hcounts), mode="drop"
         )
+    elif _stage in (3, 4, 5):
+        # hub-free plan: the hub cutoffs measure nothing extra — return
+        # the stage checksum here so a '+hub' label never silently times
+        # the full tiles path (ADVICE r2 #2)
+        return (
+            tuple(jnp.sum(p.astype(jnp.float32)) for p in cols_parts),
+            tuple(jnp.sum(p) for p in vals_parts),
+            (),
+        )
     flat_c = (
         jnp.concatenate(cols_parts)
         if cols_parts
@@ -1012,30 +1021,30 @@ def spgemm_ell(
     if out_cap is None and exact and cached is not None:
         # nnz(C) bucket known from a prior call: fuse both phases into one
         # dispatch.  Counts are value-dependent (the dense hub path drops
-        # exact-zero products), so the bucket is validated ONE CALL BEHIND:
-        # each fused call returns its nnz(C) device scalar, and the next
-        # call reads it (already materialized — no extra device sync on
-        # the producing dispatch) before trusting the bucket again.
-        prev = getattr(plan, "_nnzc_pending", None)
-        if prev is None or int(prev) <= cached:
-            csr, nnzc = _tiles_impl(
-                a, b, plan, plan.chunk, up, fused_out_cap=cached
-            )
-            object.__setattr__(plan, "_nnzc_pending", nnzc)
+        # exact-zero products), so the bucket is VALIDATED BEFORE the CSR
+        # is handed out: the fused dispatch returns its nnz(C) device
+        # scalar and this call blocks on that one int32 (the caller was
+        # about to block on the result anyway; timing-critical callers —
+        # bench.py, cli/corpus.py — slope-time ``_tiles_impl`` directly
+        # and pay no sync).  An overflowed bucket means the trailing rows
+        # were truncated — warn, drop the cache, and fall through to the
+        # exact two-phase path so no caller ever consumes a truncated
+        # CSR (VERDICT r2 #5).
+        csr, nnzc = _tiles_impl(
+            a, b, plan, plan.chunk, up, fused_out_cap=cached
+        )
+        if int(nnzc) <= cached:
             return csr
-        # the PREVIOUS fused call overflowed its bucket (its trailing rows
-        # were truncated): drop the cache and re-derive exactly.
         import warnings
 
         warnings.warn(
-            "spgemm_ell: fused nnz(C) bucket overflowed on the previous "
-            f"call (nnzc={int(prev)} > cap={cached}); its output was "
-            "truncated. Re-deriving the capacity two-phase.",
+            "spgemm_ell: fused nnz(C) bucket overflowed "
+            f"(nnzc={int(nnzc)} > cap={cached}); the fused output was "
+            "truncated and is discarded. Re-deriving two-phase.",
             RuntimeWarning,
             stacklevel=2,
         )
         object.__setattr__(plan, "_nnzc_cache", None)
-        object.__setattr__(plan, "_nnzc_pending", None)
     flat_c, flat_v, counts, flat_base = _tiles_impl(a, b, plan, plan.chunk, up)
     if out_cap is None and not exact:
         out_cap = plan.out_cap

@@ -76,10 +76,11 @@ def test_resumable_overflow_raises(tmp_path):
     assert bool(extra["overflow"])
 
 
-def test_fused_bucket_overflow_detected_one_call_behind(rng):
-    """A poisoned (undersized) nnz(C) bucket with a pending overflow must
-    be dropped on the next call, with a warning, and the call must still
-    produce the exact result (ADVICE.md item 1)."""
+def test_fused_bucket_overflow_detected_on_first_call(rng):
+    """The FIRST fused call whose nnz(C) bucket is undersized must warn
+    and still return the exact (re-derived) result — no caller may ever
+    consume a truncated CSR (VERDICT r2 #5, supersedes the round-2
+    one-call-behind contract)."""
     rp, c, v = random_csr_np(rng, 24, 24, 0.3)
     a = CSR.from_arrays(rp, c, v, ncols=24)
     plan = plan_ell(a, a)
@@ -91,9 +92,9 @@ def test_fused_bucket_overflow_detected_one_call_behind(rng):
             want._drop_explicit_zeros(), tol=1e-4
         )
     )
-    # simulate a prior fused call that overflowed its bucket
+    # poison the bucket below the true nnz(C): the next call takes the
+    # fused path, detects the overflow BEFORE returning, and re-derives
     object.__setattr__(plan, "_nnzc_cache", 8)
-    object.__setattr__(plan, "_nnzc_pending", np.int32(10_000))
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         got2 = spgemm_ell(a, a, plan=plan)
@@ -103,8 +104,11 @@ def test_fused_bucket_overflow_detected_one_call_behind(rng):
             want._drop_explicit_zeros(), tol=1e-4
         )
     )
-    # the re-derived cache is fresh and a fused follow-up works
-    got3 = spgemm_ell(a, a, plan=plan)
+    # the re-derived cache is fresh and a fused follow-up works silently
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        got3 = spgemm_ell(a, a, plan=plan)
+    assert not rec
     assert bool(
         got3._drop_explicit_zeros().is_raw_equal(
             want._drop_explicit_zeros(), tol=1e-4

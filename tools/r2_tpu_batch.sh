@@ -23,8 +23,8 @@ run prof_w2048 python tools/profile_fused.py 14 8 64 2048 "tiles s3,tiles s4,til
 run prof_w4096 python tools/profile_fused.py 14 8 64 4096 fused
 # 4. bf16 hub (opt-in knob)
 SMF_HUB_BF16=1 run prof_bf16 python tools/profile_fused.py 14 8 64 8192 fused
-# 5. pallas_esc spgemm_tiles on the real chip (VERDICT #6 decision data)
-run pallas_esc python tools/bench_pallas_esc.py
+# 5. (retired) pallas_esc was benchmarked on the real chip, found
+#    Mosaic-broken, and deleted — decision record: docs/ROUND2_NOTES.md §4b
 # 6. corpus rows: s14/s16 + cant-class with exact scipy nnz(C) cross-check
 run corpus python -m sparse_matrix_with_flops_tpu.cli.corpus \
   --synthetic --scales 14,16 --cant --check --out benchmarks/results_r2.jsonl
