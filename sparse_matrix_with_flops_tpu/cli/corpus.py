@@ -18,6 +18,90 @@ import sys
 import jax
 
 
+def _scipy_nnzc(a) -> int:
+    import numpy as np
+    import scipy.sparse as sp
+
+    rp = np.asarray(a.row_ptr)
+    nnz = int(rp[-1])
+    sa = sp.csr_matrix(
+        (np.asarray(a.values)[:nnz], np.asarray(a.col_ind)[:nnz], rp),
+        shape=a.shape,
+    )
+    return int((sa @ sa).nnz)
+
+
+def run_partitioned(
+    name, a, parts: int, check: bool = False,
+    chunk: int | None = None, max_w: int | None = None,
+):
+    """Reference-scale row: A row-split into flops-balanced groups, each
+    group's fused kernel slope-timed separately (every group is its own
+    dispatch — ops/partitioned.py's memory-bounding contract), total ms =
+    sum of group slopes.  The host stitch is excluded, matching the
+    reference's kernel-only GFLOPS accounting (only-somp.cc:36-37)."""
+    import numpy as np
+
+    from ..formats.csr import CSR
+    from ..ops.ell_esc import (
+        _tiles_impl,
+        _use_pallas_default,
+        plan_ell,
+        spgemm_ell,
+    )
+    from ..ops.partitioned import csr_row_slice, flops_prefix_partition
+    from ..ops.spgemm import spgemm_upper_bounds
+    from ..utils.timing import slope_bench
+
+    kw = {}
+    if chunk is not None:
+        kw["chunk"] = chunk
+    if max_w is not None:
+        kw["max_w"] = max_w
+    product_cap, _ = spgemm_upper_bounds(a, a)
+    cuts = flops_prefix_partition(a, a, parts)
+    db = jax.device_put(a)
+    up = _use_pallas_default()
+    total_ms, nnzc = 0.0, 0
+    for r0, r1 in zip(cuts[:-1], cuts[1:]):
+        a_g = csr_row_slice(a, r0, r1)
+        plan = plan_ell(a_g, a, **kw)
+        dg = jax.device_put(a_g)
+        spgemm_ell(dg, db, plan)  # two-phase: sizes the nnz(C) bucket
+        out = spgemm_ell(dg, db, plan)  # fused warm (validates bucket)
+        nnzc += int(np.asarray(out.row_ptr)[-1])
+        cap = getattr(plan, "_nnzc_cache")
+
+        def step(x, dg=dg, plan=plan, cap=cap):
+            a2 = CSR(dg.row_ptr, dg.col_ind, dg.values + x, dg.ncols)
+            csr, n = _tiles_impl(
+                a2, db, plan, plan.chunk, up, fused_out_cap=cap
+            )
+            return (csr.row_ptr, csr.col_ind, csr.values, n)
+
+        total_ms += slope_bench(step)
+    rec = {
+        "matrix": name,
+        "kernel": "ell",
+        "parts": parts,
+        "rows": a.rows,
+        "annz": int(a.nnz),
+        "oflops": product_cap,
+        "ms": round(total_ms, 3),
+        "gflops": round(2.0 * product_cap / total_ms / 1e6, 4),
+        "timing": "slope-sum-of-groups",
+    }
+    if chunk is not None:
+        rec["chunk"] = chunk
+    if max_w is not None:
+        rec["max_w"] = max_w
+    if check:
+        rec["nnzc"] = nnzc
+        rec["nnzc_scipy"] = _scipy_nnzc(a)
+        rec["nnzc_ok"] = bool(nnzc == rec["nnzc_scipy"])
+    return rec
+
+
 def run_one(name, a, kernel: str, check: bool = False):
     from ..formats.csr import CSR
     from ..ops.binned import plan_bins, spgemm_binned
@@ -74,15 +158,8 @@ def run_one(name, a, kernel: str, check: bool = False):
     if check:
         # exact nnz(C) cross-check vs scipy's Gustavson (host oracle)
         import numpy as np
-        import scipy.sparse as sp
 
-        rp = np.asarray(a.row_ptr)
-        nnz = int(rp[-1])
-        sa = sp.csr_matrix(
-            (np.asarray(a.values)[:nnz], np.asarray(a.col_ind)[:nnz], rp),
-            shape=a.shape,
-        )
-        want_nnz = int((sa @ sa).nnz)
+        want_nnz = _scipy_nnzc(a)
         out = fn(da)
         got_nnz = int(np.asarray(out.row_ptr)[-1])
         rec["nnzc"] = got_nnz
@@ -114,6 +191,15 @@ def main(argv=None) -> int:
         action="store_true",
         help="cross-check exact nnz(C) against scipy per matrix",
     )
+    p.add_argument(
+        "--parts",
+        type=int,
+        default=1,
+        help=">1: row-partitioned driver (ops/partitioned.py law) — "
+        "sum of per-group slope times; needed past single-dispatch HBM",
+    )
+    p.add_argument("--chunk", type=int, default=None, help="plan chunk override")
+    p.add_argument("--max-w", type=int, default=None, help="plan max_w override")
     p.add_argument("--out", default=None, help="append JSON lines here")
     args = p.parse_args(argv)
 
@@ -130,7 +216,7 @@ def main(argv=None) -> int:
     if args.synthetic or not jobs:
         from ..utils.generate import banded_csr, rmat_csr
 
-        for s in [int(x) for x in args.scales.split(",")]:
+        for s in [int(x) for x in args.scales.split(",") if x.strip()]:
             jobs.append((f"rmat_s{s}", rmat_csr(s, edge_factor=8, seed=7)))
         if args.banded:
             jobs.append(("banded_8k_b32", banded_csr(8192, bandwidth=32)))
@@ -144,7 +230,13 @@ def main(argv=None) -> int:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     sink = open(args.out, "a") if args.out else None
     for name, a in jobs:
-        rec = run_one(name, a, args.kernel, check=args.check)
+        if args.parts > 1:
+            rec = run_partitioned(
+                name, a, args.parts, check=args.check,
+                chunk=args.chunk, max_w=args.max_w,
+            )
+        else:
+            rec = run_one(name, a, args.kernel, check=args.check)
         line = json.dumps(rec)
         print(line, flush=True)
         if sink:

@@ -49,6 +49,23 @@ def _pow2ceil(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def _snap_chunks(n: np.ndarray) -> np.ndarray:
+    """Snap positive chunk counts up to the nearest {2^k, 3·2^k} value.
+
+    Segment widths only need to be MULTIPLES OF CHUNK (the gather
+    granularity) — not powers of two (only the row-tile bitonic needs a
+    pow2 width).  Allowing 3·2^k widths caps per-segment padding at
+    1.33x instead of 2x; the binding case is FEM-band B rows (cant.mtx
+    class: 65 entries snapped 128 -> 96 at chunk=32), whose pow2
+    padding pushed every row past max_w and into the dense hub path."""
+    n = np.maximum(n.astype(np.int64), 1)
+    p2 = 2 ** np.ceil(np.log2(n)).astype(np.int64)
+    p3 = 3 * 2 ** np.maximum(
+        np.ceil(np.log2(n / 3)).astype(np.int64), 0
+    )
+    return np.where((p3 >= n) & (p3 < p2), p3, p2)
+
+
 CHUNK = 64  # chunk width: row-gather granularity (tuned: 64 beats 128 by ~17%)
 MAX_W = 8192  # largest row tile; beyond -> huge fallback
 
@@ -109,10 +126,9 @@ def plan_ell(
 
     safe = np.clip(acol, 0, b.rows - 1)
     elen = bcounts[safe].astype(np.int64)
-    # per-entry padded width (0 for empty segments — they emit nothing)
-    epw = np.where(
-        elen > 0, np.maximum(chunk, 2 ** np.ceil(np.log2(np.maximum(elen, 1))).astype(np.int64)), 0
-    )
+    # per-entry padded width (0 for empty segments — they emit nothing):
+    # the B segment's class width, a {2^k, 3*2^k} multiple of chunk
+    epw = np.where(elen > 0, _snap_chunks(-(-elen // chunk)) * chunk, 0)
     counts_a = np.diff(rp)
     erow = np.repeat(np.arange(m), counts_a)
     prow_w = np.zeros(m, dtype=np.int64)  # padded row width
@@ -122,29 +138,19 @@ def plan_ell(
 
     # ---- B classes ------------------------------------------------------
     bpw = np.where(
-        bcounts > 0,
-        np.maximum(chunk, 2 ** np.ceil(np.log2(np.maximum(bcounts, 1))).astype(np.int64)),
-        0,
+        bcounts > 0, _snap_chunks(-(-bcounts // chunk)) * chunk, 0
     )
     b_classes = []
     b_class_of_row = np.full(b.rows, -1, np.int32)
     b_slot_of_row = np.zeros(b.rows, np.int32)
-    max_s = (
-        max(_pow2ceil(int(bcounts.max())), chunk)
-        if bcounts.size and bcounts.max() > 0
-        else 0
-    )
-    s = chunk
-    while s <= max_s:
+    for s in np.unique(bpw[bpw > 0]):
         sel = np.nonzero(bpw == s)[0]
-        if sel.size:
-            b_class_of_row[sel] = len(b_classes)
-            b_slot_of_row[sel] = np.arange(sel.size, dtype=np.int32)
-            if quantize:
-                pad = _qpad8(sel.size) - sel.size
-                sel = np.concatenate([sel, np.full(pad, -1, sel.dtype)])
-            b_classes.append((int(s), sel.astype(np.int32)))
-        s *= 2
+        b_class_of_row[sel] = len(b_classes)
+        b_slot_of_row[sel] = np.arange(sel.size, dtype=np.int32)
+        if quantize:
+            pad = _qpad8(sel.size) - sel.size
+            sel = np.concatenate([sel, np.full(pad, -1, sel.dtype)])
+        b_classes.append((int(s), sel.astype(np.int32)))
 
     # ---- chunk layout over the B-ELL class arrays -----------------------
     # tile gathers read B-ELL chunks DIRECTLY (values scaled by the A value
