@@ -137,6 +137,18 @@ def plan_sharded_rmcl_ell(
             np.add.at(a_dense[sh, hi], np.clip(col[seg], 0, n_pad - 1), val[seg])
     arrays["huge_rows"] = jnp.asarray(hrow_stack)
     arrays["a_dense"] = jnp.asarray(a_dense)
+    # ring-mode hub layout: colblk[me, v] = shard v's hub-row block
+    # restricted to shard me's iterate columns ([D_me, D_v, hmax, lr]) —
+    # at rotation step k chip me applies colblk[me, (me-k)%D] to its OWN
+    # densified block while the (hmax, n) hub accumulators rotate, so the
+    # O(lr·n) densify happens once per iteration instead of once per step
+    # (VERDICT r2 #3).
+    arrays["a_dense_colblk"] = jnp.asarray(
+        np.ascontiguousarray(
+            a_dense.reshape(num_shards, max(hmax, 1), num_shards, lr)
+            .transpose(2, 0, 1, 3)
+        )
+    )
 
     # ring-exchange entry groups: entry e of shard sh is served at the
     # rotation step k where the resident block's owner (sh - k) mod D
@@ -193,16 +205,26 @@ def _segments_gathered(plan, a_rp, a_ci, a_v, g_cols, g_vals):
 
 
 def _segments_ring(
-    plan, a_ci, a_v, step_ents, a_dense, block_c, block_v, axis
+    plan, a_ci, a_v, step_ents, a_colblk, block_c, block_v, axis
 ):
     """Per-entry segments + hub partial products via ring rotation.
 
     The iterate blocks ``[lr, S]`` rotate rightwards around the mesh; at
     step k shard ``me`` holds the block of owner ``(me - k) mod D`` and
-    fills exactly the entry group the planner assigned to step k, plus
-    the hub-dense partial product of the matching column slice.  Peak
+    fills exactly the entry group the planner assigned to step k.  Peak
     resident iterate: TWO blocks (the held one + the ppermute landing
     buffer) — n·S/D scaling, vs the full [n, S] of all_gather mode.
+
+    Hub rows rotate the ACCUMULATOR instead of re-densifying every
+    visiting block (VERDICT r2 #3: that cost O(lr·n) HBM writes × D steps
+    = O(n²) per chip per iteration): each chip densifies its OWN iterate
+    block once, and the (hmax, n) hub partials ring-rotate — at step k
+    chip me holds the accumulator of shard v = (me-k) mod D and adds
+    ``a_colblk[v] @ md_me`` (v's hub rows, me's columns).  After D
+    rotations every accumulator has visited every block and is home.
+    Per-chip HBM for the hub drops to O(lr·n) per iteration; the added
+    ICI traffic is 4·hmax·n bytes/step, a win whenever hub rows are rare
+    (hmax·D < 2n — always, since hub rows ≤ n).
     """
     n, S, lr, d = plan.n, plan.S, plan.lr, plan.num_shards
     cap = a_ci.shape[0]
@@ -210,8 +232,14 @@ def _segments_ring(
     seg_c = jnp.full((cap + 1, S), n, INDEX_DTYPE)
     seg_v = jnp.zeros((cap + 1, S), QVALUE_DTYPE)
     hmax = plan.hmax
-    c_h = jnp.zeros((hmax, n), QVALUE_DTYPE) if hmax else None
     perm = [(i, (i + 1) % d) for i in range(d)]
+    if hmax:
+        rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (lr, S), 0)
+        md_me = jnp.zeros((lr, n), QVALUE_DTYPE)
+        md_me = md_me.at[rix, block_c].add(block_v, mode="drop")
+        c_h = jnp.zeros((hmax, n), QVALUE_DTYPE)
+    else:
+        c_h = None
     for k in range(d):
         owner = (me - k) % d
         bstart = owner * lr
@@ -225,16 +253,13 @@ def _segments_ring(
         seg_c = seg_c.at[tgt].set(sc, mode="drop")
         seg_v = seg_v.at[tgt].set(sv, mode="drop")
         if hmax:
-            # hub partial: A_hub[:, block rows] @ dense(block)
-            a_slice = jax.lax.dynamic_slice(
-                a_dense, (0, bstart), (hmax, lr)
-            )
-            rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (lr, S), 0)
-            md = jnp.zeros((lr, n), QVALUE_DTYPE)
-            md = md.at[rix, block_c].add(block_v, mode="drop")
+            # held accumulator belongs to v = owner; add v's hub rows x
+            # me's columns against the once-densified local block
+            ab = jnp.take(a_colblk, owner, axis=0)  # [hmax, lr]
             c_h = c_h + jnp.dot(
-                a_slice, md, preferred_element_type=jnp.float32
+                ab, md_me, preferred_element_type=jnp.float32
             )
+            c_h = jax.lax.ppermute(c_h, axis, perm)
         if k + 1 < d:
             block_c = jax.lax.ppermute(block_c, axis, perm)
             block_v = jax.lax.ppermute(block_v, axis, perm)
@@ -300,7 +325,7 @@ def sharded_rmcl_ell_scan(
 
     def kernel(
         a_rp, a_ci, a_v, row_ids, ent_src, step_ents, huge_rows, a_dense,
-        c0, v0,
+        a_colblk, c0, v0,
     ):
         def step(carry, _):
             lc, lv = carry  # [1, lr, S] local shards
@@ -310,7 +335,7 @@ def sharded_rmcl_ell_scan(
                     a_ci[0],
                     a_v[0],
                     [s[0] for s in step_ents],
-                    a_dense[0],
+                    a_colblk[0],
                     lc[0],
                     lv[0],
                     axis,
@@ -364,7 +389,7 @@ def sharded_rmcl_ell_scan(
             + ([spec] * len(arrays["row_ids"]),)
             + ([spec] * len(arrays["ent_src"]),)
             + ([spec] * len(arrays["step_ents"]),)
-            + (spec, spec, spec, spec)
+            + (spec, spec, spec, spec, spec)
         ),
         out_specs=(spec, spec, stats_spec),
         check_vma=False,
@@ -377,6 +402,7 @@ def sharded_rmcl_ell_scan(
         arrays["step_ents"],
         arrays["huge_rows"],
         arrays["a_dense"],
+        arrays["a_dense_colblk"],
         mt_cols,
         mt_vals,
     )

@@ -19,10 +19,12 @@ gpu_csr_kernel.cu:281-311).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
@@ -101,91 +103,127 @@ def sharded_spgemm(
     return c, {"flops": flops, "nnz": nnzc}
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class RingPlan:
+    """Static shapes of the per-step entry groups and product streams
+    (identity-hashed jit static arg; the group CONTENT travels as sharded
+    data)."""
+
+    step_widths: tuple  # Ek: padded entry-group size per rotation step
+    step_prod_caps: tuple  # PK: padded product count per rotation step
+
+    __hash__ = object.__hash__
+
+
+def plan_spgemm_ring(a: ShardedCSR, b: ShardedCSR):
+    """Host planner for the ring exchange: group each shard's A entries by
+    the rotation step that delivers their B row, and size each step's
+    product stream exactly (B's structure is static, so per-(shard, step)
+    product counts are host constants — the reference's P2 cost-model law,
+    util.cc:123-149, applied to ring steps).
+
+    Returns (RingPlan, step_ents) with step_ents[k] an int32[D, Ek]
+    stacked array of local entry indices (-1 padded)."""
+    d = a.num_shards
+    lr = b.local_rows
+    brp = np.asarray(b.row_ptr)
+    blen = (brp[:, 1:] - brp[:, :-1]).reshape(-1).astype(np.int64)  # [D*lr]
+    arp = np.asarray(a.row_ptr)
+    aci = np.asarray(a.col_ind)
+    groups = [[] for _ in range(d)]
+    for sh in range(d):
+        nnz_sh = int(arp[sh, -1])
+        col = aci[sh, :nnz_sh]
+        owner = np.clip(col, 0, d * lr - 1) // lr
+        k_of_e = (sh - owner) % d
+        for k in range(d):
+            groups[k].append(np.nonzero(k_of_e == k)[0].astype(np.int32))
+    widths, pcaps, step_ents = [], [], []
+    for k in range(d):
+        emax = max(max(g.size for g in groups[k]), 1)
+        emax = -(-emax // 8) * 8
+        widths.append(emax)
+        stack = np.full((d, emax), -1, np.int32)
+        pk = 1
+        for sh in range(d):
+            g = groups[k][sh]
+            stack[sh, : g.size] = g
+            if g.size:
+                cols_g = np.clip(aci[sh][g], 0, d * lr - 1)
+                pk = max(pk, int(blen[cols_g].sum()))
+        pcaps.append(int(pk))
+        step_ents.append(jnp.asarray(stack))
+    return RingPlan(tuple(widths), tuple(pcaps)), step_ents
+
+
 @partial(
     jax.jit,
-    static_argnames=("mesh", "product_cap", "out_cap", "axis"),
+    static_argnames=("mesh", "plan", "out_cap", "axis"),
 )
-def sharded_spgemm_ring(
-    mesh,
-    a: ShardedCSR,
-    b: ShardedCSR,
-    product_cap: int,
-    out_cap: int,
-    axis: str = ROW_AXIS,
-) -> tuple[ShardedCSR, dict]:
-    """C = A·B with B ROTATED around the mesh instead of all-gathered.
-
-    The memory-scalable exchange (SURVEY.md §2.6 last row): B's blocks
-    ring-rotate via `jax.lax.ppermute` as the reference blueprint's
-    two-step ragged protocol — a cheap LENGTHS rotation first (per-entry
-    B-row counts fix every product's flops offset), then the ROWS
-    rotation fills each resident block's products in place.  Per-chip
-    peak B footprint is 2 blocks (2·nnz(B)/D) instead of the whole
-    operand, so adding chips grows the feasible matrix size.  The cost is
-    D masked passes over the product stream; prefer
-    :func:`sharded_spgemm` when B fits per-chip HBM.
-    """
+def _ring_impl(mesh, plan, a, b, step_ents, out_cap: int, axis: str):
     ncols = b.ncols
     d = mesh.devices.size
     lr = b.local_rows
     lcap = b.local_capacity
     perm = [(i, (i + 1) % d) for i in range(d)]
 
-    def kernel(a_rp, a_ci, a_v, b_rp, b_ci, b_v):
+    def kernel(a_rp, a_ci, a_v, b_rp, b_ci, b_v, ents):
         me = jax.lax.axis_index(axis)
         a_rp0, a_ci0, a_v0 = a_rp[0], a_ci[0], a_v[0]
         m = a_rp0.shape[0] - 1
         cap = a_ci0.shape[0]
-        valid = jnp.arange(cap, dtype=INDEX_DTYPE) < a_rp0[-1]
-
-        # rotation 1: lengths — per-A-entry B-row counts
-        cnt_blk = (b_rp[0][1:] - b_rp[0][:-1]).astype(INDEX_DTYPE)
-        ef = jnp.zeros((cap,), INDEX_DTYPE)
-        for k in range(d):
-            owner = (me - k) % d
-            loc = a_ci0 - owner * lr
-            inb = valid & (loc >= 0) & (loc < lr)
-            c = jnp.take(cnt_blk, jnp.clip(loc, 0, lr - 1))
-            ef = jnp.where(inb, c, ef)
-            if k + 1 < d:
-                cnt_blk = jax.lax.ppermute(cnt_blk, axis, perm)
-
-        starts = exclusive_cumsum(ef)
-        total = starts[-1]
-        p = repeat_segments(starts[:-1], valid & (ef > 0), product_cap)
-        q = jnp.arange(product_cap, dtype=INDEX_DTYPE)
-        pvalid = q < total
-        safe_p = jnp.clip(p, 0, cap - 1)
         erow = jnp.repeat(
             jnp.arange(m, dtype=INDEX_DTYPE),
             a_rp0[1:] - a_rp0[:-1],
             total_repeat_length=cap,
         )
-        arow = jnp.take(erow, safe_p)
-        acol = jnp.take(a_ci0, safe_p)
-        aval = jnp.take(a_v0, safe_p)
-        t = q - jnp.take(starts, safe_p)
-
-        # rotation 2: rows — fill products from the resident block
-        pcol = jnp.full((product_cap,), ncols, INDEX_DTYPE)
-        pval = jnp.zeros((product_cap,), QVALUE_DTYPE)
         blk_rp, blk_ci, blk_v = b_rp[0], b_ci[0], b_v[0]
+        rows_parts, cols_parts, vals_parts = [], [], []
+        total = jnp.zeros((), INDEX_DTYPE)
         for k in range(d):
             owner = (me - k) % d
-            loc = acol - owner * lr
-            inb = pvalid & (loc >= 0) & (loc < lr)
-            b_start = jnp.take(blk_rp[:-1], jnp.clip(loc, 0, lr - 1))
-            b_idx = jnp.clip(b_start + t, 0, lcap - 1)
-            pcol = jnp.where(inb, jnp.take(blk_ci, b_idx), pcol)
-            pval = jnp.where(inb, aval * jnp.take(blk_v, b_idx), pval)
+            ids = ents[k][0]  # [Ek] local entry indices, -1 padded
+            ek = ids.shape[0]
+            pk = plan.step_prod_caps[k]
+            okid = ids >= 0
+            safe_ids = jnp.clip(ids, 0, cap - 1)
+            acol = jnp.take(a_ci0, safe_ids)
+            loc = jnp.clip(acol - owner * lr, 0, lr - 1)
+            bs = jnp.take(blk_rp, loc)
+            cnt = jnp.where(
+                okid, (jnp.take(blk_rp, loc + 1) - bs), 0
+            ).astype(INDEX_DTYPE)
+            starts = exclusive_cumsum(cnt)
+            tot_k = starts[-1]
+            total = total + tot_k
+            p = repeat_segments(starts[:-1], okid & (cnt > 0), pk)
+            q = jnp.arange(pk, dtype=INDEX_DTYPE)
+            pv = q < tot_k
+            sp = jnp.clip(p, 0, ek - 1)
+            e = jnp.take(safe_ids, sp)
+            t = q - jnp.take(starts, sp)
+            b_idx = jnp.clip(jnp.take(bs, sp) + t, 0, lcap - 1)
+            rows_parts.append(
+                jnp.where(pv, jnp.take(erow, e), m).astype(INDEX_DTYPE)
+            )
+            cols_parts.append(
+                jnp.where(pv, jnp.take(blk_ci, b_idx), ncols).astype(
+                    INDEX_DTYPE
+                )
+            )
+            vals_parts.append(
+                jnp.where(
+                    pv, jnp.take(a_v0, e) * jnp.take(blk_v, b_idx), 0.0
+                ).astype(QVALUE_DTYPE)
+            )
             if k + 1 < d:
                 blk_rp = jax.lax.ppermute(blk_rp, axis, perm)
                 blk_ci = jax.lax.ppermute(blk_ci, axis, perm)
                 blk_v = jax.lax.ppermute(blk_v, axis, perm)
 
-        prow = jnp.where(pvalid, arow, m).astype(INDEX_DTYPE)
-        pcol = jnp.where(pvalid, pcol, ncols).astype(INDEX_DTYPE)
-        pval = jnp.where(pvalid, pval, 0.0).astype(QVALUE_DTYPE)
+        prow = jnp.concatenate(rows_parts)
+        pcol = jnp.concatenate(cols_parts)
+        pval = jnp.concatenate(vals_parts)
         prow, pcol, pval, pvalid2, flags, seg, nnzc = esc_sort(
             prow, pcol, pval, m
         )
@@ -214,9 +252,45 @@ def sharded_spgemm_ring(
     c_rp, c_ci, c_v, flops, nnzc = shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(spec,) * 6,
+        in_specs=(spec,) * 6 + ([spec] * d,),
         out_specs=(spec,) * 5,
         check_vma=False,
-    )(a.row_ptr, a.col_ind, a.values, b.row_ptr, b.col_ind, b.values)
+    )(
+        a.row_ptr, a.col_ind, a.values,
+        b.row_ptr, b.col_ind, b.values,
+        step_ents,
+    )
     c = ShardedCSR(c_rp, c_ci, c_v, ncols, a.global_rows)
     return c, {"flops": flops, "nnz": nnzc}
+
+
+def sharded_spgemm_ring(
+    mesh,
+    a: ShardedCSR,
+    b: ShardedCSR,
+    product_cap: int | None = None,
+    out_cap: int = 1,
+    axis: str = ROW_AXIS,
+    plan: RingPlan | None = None,
+    step_ents=None,
+) -> tuple[ShardedCSR, dict]:
+    """C = A·B with B ROTATED around the mesh instead of all-gathered.
+
+    The memory-scalable exchange (SURVEY.md §2.6 last row): B's blocks
+    ring-rotate via `jax.lax.ppermute`; the host planner
+    (:func:`plan_spgemm_ring`) pre-groups each shard's A entries by the
+    rotation step that delivers their B row and sizes each step's product
+    stream exactly, so per-chip work per step is O(products of that step)
+    — the per-chip total scales ~1/D with flops-balanced sharding,
+    matching the 1/D memory scaling (VERDICT r2 #3; the round-2 version
+    paid D masked passes over the FULL per-shard stream).  Peak B
+    footprint stays 2 blocks (2·nnz(B)/D).  Prefer :func:`sharded_spgemm`
+    when B fits per-chip HBM.
+
+    ``product_cap`` is accepted for API compatibility; stream sizes come
+    from the planner.  Pass a prebuilt (plan, step_ents) to call from
+    traced code.
+    """
+    if plan is None:
+        plan, step_ents = plan_spgemm_ring(a, b)
+    return _ring_impl(mesh, plan, a, b, step_ents, int(out_cap), axis)

@@ -131,7 +131,7 @@ def test_sharded_rmcl_single_device_mesh(rng):
     assert int(stats["nnz_mt"]) > 0
 
 
-@pytest.mark.parametrize("nd", [2, 8])
+@pytest.mark.parametrize("nd", [2, 4, 8])
 def test_sharded_spgemm_ring_matches_single_chip(rng, nd):
     """Ring-rotated B exchange (ppermute) equals the all-gather path and
     the single-chip product — the memory-scalable distributed SpGEMM."""
@@ -150,6 +150,37 @@ def test_sharded_spgemm_ring_matches_single_chip(rng, nd):
     want = ref._drop_explicit_zeros()
     assert bool(got.is_raw_equal(want, tol=1e-5))
     assert int(jnp.sum(info["flops"])) == flops
+
+
+def test_ring_per_chip_work_scales_with_devices(rng):
+    """The planner-grouped ring (VERDICT r2 #3): per-chip compiled work
+    must SHRINK as devices are added on a fixed global problem — the
+    round-2 ring paid D full passes over the per-shard product stream, so
+    its per-chip flops were ~constant in D.  Compare XLA's per-device
+    flops estimate at D=2 vs D=4 vs D=8."""
+    from sparse_matrix_with_flops_tpu.parallel import make_mesh, shard_csr
+    from sparse_matrix_with_flops_tpu.parallel.spgemm import (
+        _ring_impl,
+        plan_spgemm_ring,
+    )
+
+    a = _random_csr(rng, 256, 256, 0.08)
+    flops, _ = spgemm_upper_bounds(a, a)
+    per = max(flops, 16)
+
+    def per_chip_flops(nd):
+        mesh = make_mesh(nd)
+        sa = shard_csr(a, nd)
+        plan, ents = plan_spgemm_ring(sa, sa)
+        lowered = _ring_impl.lower(mesh, plan, sa, sa, ents, per, "x")
+        cost = lowered.compile().cost_analysis()
+        return float(cost["flops"])
+
+    f2, f4, f8 = per_chip_flops(2), per_chip_flops(4), per_chip_flops(8)
+    # 1/D scaling with planner padding slack: halving again must keep
+    # shrinking (old design: f4 ~= f2)
+    assert f4 < 0.75 * f2, (f2, f4)
+    assert f8 < 0.75 * f4, (f4, f8)
 
 
 def test_adaptive_repartition_balances_and_matches(rng):
