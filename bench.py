@@ -89,12 +89,17 @@ def main() -> None:
     ms = slope_bench(step)
     gflops = flops2 / ms / 1e6
 
-    # host-CPU Gustavson baseline (best of 5 to dodge host contention)
+    # host-CPU Gustavson baselines (best of 5 to dodge host contention):
+    # vs_baseline — single-thread scipy (kept scipy-relative for
+    # round-over-round comparability with BENCH_r01/r02);
+    # vs_baseline_mt — the 4-thread OpenMP C++ Gustavson in
+    # native/src/spgemm_baseline.cc, the reference's flagship kernel
+    # class (static_omp_csr_kernel.cc:98-206) on this host (VERDICT r2 #8)
+    rp = np.asarray(a.row_ptr)
+    nnz = int(rp[-1])
     try:
         import scipy.sparse as sp
 
-        rp = np.asarray(a.row_ptr)
-        nnz = int(rp[-1])
         sa = sp.csr_matrix(
             (np.asarray(a.values)[:nnz], np.asarray(a.col_ind)[:nnz], rp),
             shape=a.shape,
@@ -107,17 +112,25 @@ def main() -> None:
         vs_baseline = gflops / (flops2 / best / 1e6)
     except Exception:
         vs_baseline = 1.0
+    try:
+        from sparse_matrix_with_flops_tpu.io.native import spgemm_mt_baseline
 
-    print(
-        json.dumps(
-            {
-                "metric": "spgemm_rmat_s%d_gflops" % scale,
-                "value": round(gflops, 3),
-                "unit": "GFLOPS",
-                "vs_baseline": round(vs_baseline, 3),
-            }
+        mt = spgemm_mt_baseline(
+            rp, np.asarray(a.col_ind), np.asarray(a.values), a.ncols
         )
-    )
+        vs_mt = gflops / (flops2 / mt[0] / 1e6) if mt else None
+    except Exception:
+        vs_mt = None
+
+    rec = {
+        "metric": "spgemm_rmat_s%d_gflops" % scale,
+        "value": round(gflops, 3),
+        "unit": "GFLOPS",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    if vs_mt is not None:
+        rec["vs_baseline_mt"] = round(vs_mt, 3)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

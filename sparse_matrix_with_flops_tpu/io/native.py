@@ -20,7 +20,7 @@ _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
 
-def _build_lib(src: str, out: str) -> bool:
+def _build_lib(src: str, out: str, extra: tuple = ()) -> bool:
     # Compile to a process-unique path and publish atomically: the
     # in-process lock cannot stop a SECOND process (parallel pytest,
     # multi-host launch) from racing g++ on the same -o target, and a
@@ -33,6 +33,7 @@ def _build_lib(src: str, out: str) -> bool:
         "-std=c++17",
         "-shared",
         "-fPIC",
+        *extra,
         "-o",
         tmp,
         src,
@@ -96,6 +97,72 @@ def get_lib() -> ctypes.CDLL | None:
         lib.smf_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
+
+
+_BASE_LIB: ctypes.CDLL | None = None
+_BASE_TRIED = False
+
+
+def get_baseline_lib() -> ctypes.CDLL | None:
+    """Multi-threaded CPU Gustavson baseline (spgemm_baseline.cc), built
+    with OpenMP on demand; None if the toolchain is unavailable."""
+    global _BASE_LIB, _BASE_TRIED
+    with _LOCK:
+        if _BASE_LIB is not None or _BASE_TRIED:
+            return _BASE_LIB
+        _BASE_TRIED = True
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        src = os.path.join(pkg, "native", "src", "spgemm_baseline.cc")
+        out = os.path.join(pkg, "native", "_baseline.so")
+        if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+            if not _build_lib(src, out, extra=("-fopenmp",)):
+                return None
+        try:
+            lib = ctypes.CDLL(out)
+        except OSError:
+            return None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.smf_spgemm_mt.restype = ctypes.c_int
+        lib.smf_spgemm_mt.argtypes = [
+            i32p, i32p, f32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, f32p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _BASE_LIB = lib
+        return _BASE_LIB
+
+
+def spgemm_mt_baseline(rp, ci, v, ncols: int, iters: int = 5):
+    """(best ms, nnzc) of C = A·A via the OpenMP Gustavson baseline, or
+    None when the native toolchain is unavailable.  ``rp/ci/v`` are host
+    CSR arrays of the square matrix A."""
+    lib = get_baseline_lib()
+    if lib is None:
+        return None
+    rp = np.ascontiguousarray(rp, dtype=np.int32)
+    nnz = int(rp[-1])
+    ci = np.ascontiguousarray(ci[:nnz], dtype=np.int32)
+    v = np.ascontiguousarray(v[:nnz], dtype=np.float32)
+    m = rp.shape[0] - 1
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    ms = ctypes.c_double()
+    nnzc = ctypes.c_int64()
+    rc = lib.smf_spgemm_mt(
+        rp.ctypes.data_as(i32p), ci.ctypes.data_as(i32p),
+        v.ctypes.data_as(f32p),
+        m, m, ncols,
+        rp.ctypes.data_as(i32p), ci.ctypes.data_as(i32p),
+        v.ctypes.data_as(f32p),
+        iters, ctypes.byref(ms), ctypes.byref(nnzc),
+    )
+    if rc != 0:
+        return None
+    return float(ms.value), int(nnzc.value)
 
 
 def _steal(lib, ptr, n, dtype):

@@ -58,3 +58,24 @@ def test_load_coo_native_equals_python():
     sa = a.sum_duplicates().to_csr()
     sb = b.sum_duplicates().to_csr()
     assert bool(sa.is_equal(sb))
+
+
+def test_spgemm_mt_baseline_matches_scipy():
+    """The OpenMP Gustavson baseline (bench.py's vs_baseline_mt yardstick)
+    must produce the exact scipy nnz(C) — it is a timing baseline, so its
+    work must be the real work."""
+    import scipy.sparse as sp
+
+    from sparse_matrix_with_flops_tpu.io.native import spgemm_mt_baseline
+
+    rng = np.random.default_rng(3)
+    n = 512
+    m = sp.random(
+        n, n, density=0.02, format="csr", random_state=rng, dtype=np.float32
+    )
+    res = spgemm_mt_baseline(m.indptr, m.indices, m.data, n, iters=2)
+    if res is None:
+        pytest.skip("native toolchain unavailable")
+    ms, nnzc = res
+    assert nnzc == (m @ m).nnz
+    assert ms > 0.0
