@@ -29,6 +29,7 @@ from jax import shard_map
 from ..config import INDEX_DTYPE, QVALUE_DTYPE
 from ..formats.csr import CSR
 from ..ops.prune import inflate_prune_normalize_stream
+from ..ops.segments import repeat_segments
 from ..ops.spgemm import bview_from_blocks, esc_expand_view, esc_sort
 from .mesh import ROW_AXIS
 from .sharded import ShardedCSR
@@ -171,6 +172,172 @@ def plan_shard_capacities(
 REBALANCE_ALPHA = 0.008
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def sharded_next_flops(mesh, mgt: ShardedCSR, mt: ShardedCSR, axis=ROW_AXIS):
+    """Device-side per-row flops of the NEXT multiply Mgt·Mt plus the
+    current layout's per-shard flops spread.  Returns (rf [D, lr] sharded
+    int32, spread scalar replicated) — nothing leaves the devices."""
+
+    def kernel(a_rp, a_ci, b_rp):
+        cnt_l = (b_rp[0][1:] - b_rp[0][:-1]).astype(INDEX_DTYPE)
+        cnt_g = jax.lax.all_gather(cnt_l, axis).reshape(-1)  # [n_pad]
+        a_rp0, a_ci0 = a_rp[0], a_ci[0]
+        m = a_rp0.shape[0] - 1
+        cap = a_ci0.shape[0]
+        valid = jnp.arange(cap, dtype=INDEX_DTYPE) < a_rp0[-1]
+        ef = jnp.where(
+            valid,
+            jnp.take(cnt_g, jnp.clip(a_ci0, 0, cnt_g.shape[0] - 1)),
+            0,
+        )
+        erow = jnp.repeat(
+            jnp.arange(m, dtype=INDEX_DTYPE),
+            a_rp0[1:] - a_rp0[:-1],
+            total_repeat_length=cap,
+        )
+        rf = jnp.zeros((m + 1,), INDEX_DTYPE).at[
+            jnp.where(valid, erow, m)
+        ].add(ef, mode="promise_in_bounds")[:m]
+        tot = jnp.sum(rf)
+        tots = jax.lax.all_gather(tot, axis).astype(jnp.float32)
+        spread = (jnp.max(tots) - jnp.min(tots)) / jnp.maximum(
+            jnp.mean(tots), 1.0
+        )
+        return rf[None], spread, jnp.sum(tots)
+
+    spec = P(axis)
+    rf, spread, total = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(spec,) * 3,
+        out_specs=(spec, P(), P()),
+        check_vma=False,
+    )(mgt.row_ptr, mgt.col_ind, mt.row_ptr)
+    return rf, spread, total
+
+
+def _snake_perm_device(rf, rows: int, d: int, lr: int):
+    """Replicated device analogue of :func:`sharded.flops_balanced_
+    permutation` over the PADDED row space: real rows deal boustrophedon
+    over valid slots by descending flops (stable), padding rows fill the
+    invalid tail slots — identical layout semantics to the host version
+    (holes only in trailing shards)."""
+    n_pad = d * lr
+    idx = jnp.arange(n_pad, dtype=INDEX_DTYPE)
+    rfx = jnp.where(idx < rows, rf.astype(jnp.int64), -1)
+    order = jnp.argsort(-rfx, stable=True).astype(INDEX_DTYPE)
+    k = idx // lr
+    r = idx % lr
+    snakecol = jnp.where(r % 2 == 0, k, d - 1 - k)
+    rank = r * d + snakecol
+    sizes = jnp.clip(rows - k * lr, 0, lr)
+    key = jnp.where(r < sizes, rank, n_pad + rank)
+    slot_order = jnp.argsort(key)
+    return jnp.zeros((n_pad,), INDEX_DTYPE).at[slot_order].set(order)
+
+
+@partial(jax.jit, static_argnames=("mesh", "rows", "axis"))
+def _device_repartition_pair(
+    mesh, mgt: ShardedCSR, mt: ShardedCSR, rf, rows: int, axis=ROW_AXIS
+):
+    """Conjugate-relabel (P·M·Pᵗ) and re-deal BOTH sharded operands on
+    device with the flops-balanced snake permutation computed from ``rf``
+    ([D, lr] sharded) — the all_to_all repartition of the blueprint
+    (SURVEY §2.6) without the round-2 unshard → host permute → reshard
+    round-trip (VERDICT r2 #7).  Returns (new_mgt, new_mt, perm [n_pad]
+    replicated, overflow, spread_after)."""
+    d = mgt.num_shards
+    lr = mgt.local_rows
+    n_pad = d * lr
+    ncols = mgt.ncols
+
+    def _regather(g_rp, g_ci, g_v, old, inv, lcap):
+        """Build my new local block: rows ``old`` of the gathered global
+        CSR, columns relabelled through ``inv``."""
+        rpf = g_rp.reshape(-1)  # [d*(lr+1)]
+        osh = old // lr
+        olo = old % lr
+        start = osh * lcap + jnp.take(rpf, osh * (lr + 1) + olo)
+        ln = jnp.take(rpf, osh * (lr + 1) + olo + 1) - jnp.take(
+            rpf, osh * (lr + 1) + olo
+        )
+        new_rp = jnp.concatenate(
+            [jnp.zeros((1,), INDEX_DTYPE), jnp.cumsum(ln).astype(INDEX_DTYPE)]
+        )
+        overflow = new_rp[-1] > lcap
+        p = repeat_segments(new_rp[:-1], ln > 0, lcap)
+        slot = jnp.arange(lcap, dtype=INDEX_DTYPE)
+        pv = slot < new_rp[-1]
+        sp = jnp.clip(p, 0, lr - 1)
+        src = jnp.clip(
+            jnp.take(start, sp) + (slot - jnp.take(new_rp, sp)),
+            0,
+            g_ci.size - 1,
+        )
+        col = jnp.take(g_ci.reshape(-1), src)
+        val = jnp.take(g_v.reshape(-1), src)
+        newcol = jnp.where(
+            pv & (col < ncols),
+            jnp.take(inv, jnp.clip(col, 0, n_pad - 1)),
+            ncols,
+        ).astype(INDEX_DTYPE)
+        newval = jnp.where(pv, val, 0.0).astype(QVALUE_DTYPE)
+        return new_rp, newcol, newval, overflow
+
+    def kernel(a_rp, a_ci, a_v, b_rp, b_ci, b_v, rf_blk):
+        me = jax.lax.axis_index(axis)
+        rf_g = jax.lax.all_gather(rf_blk[0], axis).reshape(-1)
+        perm = _snake_perm_device(rf_g, rows, d, lr)
+        inv = (
+            jnp.zeros((n_pad,), INDEX_DTYPE)
+            .at[perm]
+            .set(jnp.arange(n_pad, dtype=INDEX_DTYPE))
+        )
+        old = jax.lax.dynamic_slice(perm, (me * lr,), (lr,))
+        ga_rp = jax.lax.all_gather(a_rp[0], axis)
+        ga_ci = jax.lax.all_gather(a_ci[0], axis)
+        ga_v = jax.lax.all_gather(a_v[0], axis)
+        na_rp, na_ci, na_v, ova = _regather(
+            ga_rp, ga_ci, ga_v, old, inv, mgt.local_capacity
+        )
+        gb_rp = jax.lax.all_gather(b_rp[0], axis)
+        gb_ci = jax.lax.all_gather(b_ci[0], axis)
+        gb_v = jax.lax.all_gather(b_v[0], axis)
+        nb_rp, nb_ci, nb_v, ovb = _regather(
+            gb_rp, gb_ci, gb_v, old, inv, mt.local_capacity
+        )
+        myf = jnp.sum(jnp.take(rf_g, old))
+        tots = jax.lax.all_gather(myf, axis).astype(jnp.float32)
+        spread = (jnp.max(tots) - jnp.min(tots)) / jnp.maximum(
+            jnp.mean(tots), 1.0
+        )
+        overflow = (
+            jax.lax.psum((ova | ovb).astype(jnp.int32), axis) > 0
+        )
+        return (
+            na_rp[None], na_ci[None], na_v[None],
+            nb_rp[None], nb_ci[None], nb_v[None],
+            perm, overflow, spread,
+        )
+
+    spec = P(axis)
+    outs = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(spec,) * 7,
+        out_specs=(spec,) * 6 + (P(), P(), P()),
+        check_vma=False,
+    )(
+        mgt.row_ptr, mgt.col_ind, mgt.values,
+        mt.row_ptr, mt.col_ind, mt.values,
+        rf,
+    )
+    na_rp, na_ci, na_v, nb_rp, nb_ci, nb_v, perm, overflow, spread = outs
+    new_mgt = ShardedCSR(na_rp, na_ci, na_v, ncols, mgt.global_rows)
+    new_mt = ShardedCSR(nb_rp, nb_ci, nb_v, ncols, mt.global_rows)
+    return new_mgt, new_mt, perm, overflow, spread
+
+
 def sharded_rmcl_adaptive(
     mt0: CSR,
     mesh,
@@ -194,29 +361,42 @@ def sharded_rmcl_adaptive(
     realisation of the blueprint's all_to_all repartition.  Once the
     iterate settles, the layout freezes (like HYB reusing ``ends[]``).
 
-    This is the dynamic-mode driver: it pays one host round-trip per
-    iteration (like models.rmcl mode="loop"); the static
-    `rmcl_ell.sharded_rmcl_ell` keeps a fixed structure where one up-front
-    balance suffices.  Returns (final CSR in the ORIGINAL labelling,
-    history dict).
+    DEVICE-RESIDENT (VERDICT r2 #7): the operands stay sharded across all
+    iterations; the flops estimate, the snake permutation, the conjugate
+    relabel, and the re-deal all run on device
+    (:func:`sharded_next_flops`, :func:`_device_repartition_pair`).  The
+    only per-iteration host traffic is ONE sync fetching the scalars that
+    drive the rebalance decision (differs, spread, nnz, overflow).
+    Unshard + final un-relabel happen once at the end.  Returns (final
+    CSR in the ORIGINAL labelling, history dict).
     """
     from ..ops.flops import row_flops
-    from ..utils.perm import permutation_transpose
-    from .sharded import flops_balanced_permutation, shard_csr, unshard_csr
+    from .sharded import shard_csr, unshard_csr
 
     d = int(mesh.devices.size)
     n = mt0.rows
     lr = -(-n // d)
-    mgt = mt0.deep_copy()
-    mt = mt0
+    n_pad = d * lr
 
-    def spread_of(rf: np.ndarray) -> float:
-        padded = np.concatenate([rf, np.zeros(d * lr - n, rf.dtype)])
-        per = padded.reshape(d, lr).sum(axis=1)
-        return float((per.max() - per.min()) / max(per.mean(), 1.0))
+    # one-time setup: shard the natural layout, record its spread
+    rf0 = np.asarray(row_flops(mt0, mt0), dtype=np.int64)
+    padded = np.concatenate([rf0, np.zeros(n_pad - n, rf0.dtype)])
+    per0 = padded.reshape(d, lr).sum(axis=1)
+    spread0 = float((per0.max() - per0.min()) / max(per0.mean(), 1.0))
+    total = int(rf0.sum())
+    pc = cc = max(16, int(np.ceil(total / d * margin)))
+    lcap_t = max(cc, int(mt0.capacity))
+    smgt = shard_csr(mt0, d, local_capacity=lcap_t)
+    smt = shard_csr(mt0, d, local_capacity=lcap_t)
+    rf_blocks = jnp.asarray(
+        np.concatenate(
+            [rf0.astype(np.int32), np.zeros(n_pad - n, np.int32)]
+        ).reshape(d, lr)
+    )
+    perm_total = jnp.arange(n_pad, dtype=jnp.int32)
 
-    perm_total = np.arange(n, dtype=np.int32)
     prev_differs = np.inf
+    spread = spread0
     hist = {
         "differs": [],
         "nnz": [],
@@ -226,35 +406,43 @@ def sharded_rmcl_adaptive(
         "overflow": [],
     }
     for it in range(max_iters):
-        rf = np.asarray(row_flops(mgt, mt), dtype=np.int64)
-        sp0 = spread_of(rf)
         rebal = it == 0 or (
-            prev_differs > alpha and sp0 > spread_threshold
+            prev_differs > alpha and spread > spread_threshold
         )
-        if rebal:
-            perm = flops_balanced_permutation(rf, d)
-            pj = jnp.asarray(perm)
-            mgt = mgt.conjugate_permute(pj)
-            mt = mt.conjugate_permute(pj)
-            perm_total = perm_total[perm]
-            rf = rf[perm]
-        hist["spread_before"].append(sp0)
-        hist["spread_after"].append(spread_of(rf))
+        hist["spread_before"].append(spread)
         hist["rebalanced"].append(bool(rebal))
-
-        total = int(rf.sum())
-        pc, cc = (
-            max(16, int(np.ceil(total / d * margin))),
-        ) * 2
-        smgt = shard_csr(mgt, d)
-        smt = shard_csr(mt, d, local_capacity=max(cc, int(mt.capacity)))
+        r_ovf = sp_after = None
+        if rebal:
+            smgt, smt, perm, r_ovf, sp_after = _device_repartition_pair(
+                mesh, smgt, smt, rf_blocks, n, axis
+            )
+            perm_total = jnp.take(perm_total, perm)
         new_smt, stats = sharded_rmcl_step(mesh, smgt, smt, pc, cc, axis)
-        mt = unshard_csr(new_smt)
+        rf_blocks, next_spread, next_total = sharded_next_flops(
+            mesh, smgt, new_smt, axis
+        )
+        smt = new_smt
+        # the iteration's single sync point: block once on the decision
+        # scalars (everything dispatched above is complete by then, so
+        # the extra reads are plain fetches, not device syncs)
         prev_differs = float(stats["differs"])
+        if sp_after is not None:
+            spread = float(sp_after)
+        hist["spread_after"].append(spread)
+        spread = float(next_spread)
+        # flops can grow across early iterations: bump the (static) caps
+        # in x1.5 buckets so recompiles stay bounded
+        need = max(16, int(np.ceil(float(next_total) / d * margin)))
+        while pc < need:
+            pc = cc = int(pc * 1.5) + 16
         hist["differs"].append(prev_differs)
         hist["nnz"].append(int(stats["nnz_mt"]))
-        hist["overflow"].append(bool(stats["overflow"]))
+        hist["overflow"].append(
+            bool(stats["overflow"]) or (r_ovf is not None and bool(r_ovf))
+        )
 
-    inv = jnp.asarray(permutation_transpose(perm_total))
-    out = mt.conjugate_permute(inv)
+    mt_final = unshard_csr(smt)
+    inv_np = np.zeros(n_pad, np.int32)
+    inv_np[np.asarray(perm_total)] = np.arange(n_pad, dtype=np.int32)
+    out = mt_final.conjugate_permute(jnp.asarray(inv_np[:n]))
     return out, {k: np.asarray(v) for k, v in hist.items()}
