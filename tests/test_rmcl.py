@@ -203,3 +203,39 @@ def test_cluster_extraction():
     assert labels[1] == labels[2]
     sizes = cluster_sizes(labels)
     assert sum(sizes.values()) == 6
+
+
+def test_planted_partition_quality_and_path_agreement():
+    """Clustering QUALITY (VERDICT r2 #9): on a stochastic-block-model
+    graph the R-MCL clustering must recover the planted communities with
+    high purity, and the stream (ESC) and static-ELL paths must produce
+    IDENTICAL labels (the nrmcl.cc Same/Diffs verdict elevated to the
+    clustering readout)."""
+    import numpy as np
+
+    from sparse_matrix_with_flops_tpu.models.clusters import (
+        cluster_sizes,
+        extract_clusters,
+    )
+    from sparse_matrix_with_flops_tpu.models.rmcl import rmcl, rmcl_init
+    from sparse_matrix_with_flops_tpu.models.rmcl_ell import rmcl_ell
+    from sparse_matrix_with_flops_tpu.utils.generate import (
+        cluster_purity,
+        planted_partition_coo,
+    )
+
+    coo, planted = planted_partition_coo(
+        6, 16, p_in=0.5, p_out=0.0005, seed=2
+    )
+    mt0 = rmcl_init(coo)
+    res = rmcl(mt0, max_iters=16, mode="loop")
+    # weight_floor 0.2: converged rows are near-delta attractor
+    # distributions (row-stochastic), so linking only >=20%-mass edges
+    # reads out the attractor structure without residual noise
+    lab_stream = extract_clusters(res.mt, weight_floor=0.2)
+    out_ell, _ = rmcl_ell(mt0, max_iters=16)
+    lab_ell = extract_clusters(out_ell, weight_floor=0.2)
+    np.testing.assert_array_equal(lab_stream, lab_ell)
+    assert cluster_purity(lab_stream, planted) >= 0.95
+    found = len(cluster_sizes(lab_stream))
+    assert 4 <= found <= 10  # ~the planted 6, allowing merges/splits
