@@ -100,6 +100,9 @@ class EllPlan:
     hub_eorder: np.ndarray | None = None  # int32[bnnz] entry ids, slab-major
     hub_lin: np.ndarray | None = None  # int32[bnnz] row*slab+local_col
     hub_sptr: np.ndarray | None = None  # int64[n_slabs+1] entry offsets
+    # dense contraction space restricted to the B rows hub rows touch
+    hub_kmap: np.ndarray | None = None  # int32[b.rows]: global -> local, -1
+    hub_kh: int = 0  # padded union size (multiple of 128)
 
     __hash__ = object.__hash__
 
@@ -265,26 +268,46 @@ def plan_ell(
     # Each slab's scatter then touches only its own entries — the old
     # per-slab full-capacity scatter paid nnz(B) descriptors PER SLAB
     # (measured ~5-6.5 ms at s14; tools/probe_bdense.py).
+    # The dense contraction space is RESTRICTED to the union of B rows the
+    # hub rows actually reference (kh of K): the densify's cost is pure
+    # dense-array traffic (probe_bdense2 — the scatter itself is ~free),
+    # so it scales with kh/K (≈0.49 at s14).
     hub_slab, hub_eorder, hub_lin, hub_sptr = 0, None, None, None
+    hub_kmap, hub_kh = None, 0
     if huge.size:
         K, N = b.rows, b.ncols
-        budget = int(os.environ.get("SMF_HUB_SLAB_BYTES", str(1 << 30)))
+        hub_krows = np.unique(safe[huge_src])
+        kh = int(hub_krows.size)
+        khp = max(128, -(-kh // 128) * 128)  # MXU contraction alignment
+        kmap = np.full(K, -1, np.int32)
+        kmap[hub_krows] = np.arange(kh, dtype=np.int32)
+        # 512 MB slab cap: the TPU scatter rate falls off a cliff past
+        # ~0.5 GB dense targets (probe_bdense2: 1 GB = 13.2 ms but
+        # 0.5 GB = 2.7 ms — 5x better at 2x smaller)
+        budget = int(os.environ.get("SMF_HUB_SLAB_BYTES", str(1 << 29)))
         slab = N
-        while K * slab * 4 > budget and slab > 256:
+        while khp * slab * 4 > budget and slab > 256:
             slab = -(-slab // 2)
         n_slabs = -(-N // slab)
         bnnz = int(brp[-1])
         bcol = np.asarray(b.col_ind)[:bnnz].astype(np.int64)
         berow = np.repeat(np.arange(b.rows, dtype=np.int64), bcounts)
+        sel = np.nonzero(kmap[berow] >= 0)[0]
+        bcol, berow = bcol[sel], berow[sel]
         sl_id = bcol // slab
         order = np.argsort(sl_id, kind="stable")
-        lin = berow[order] * slab + (bcol[order] - sl_id[order] * slab)
+        lin = (
+            kmap[berow[order]].astype(np.int64) * slab
+            + (bcol[order] - sl_id[order] * slab)
+        )
         hub_sptr = np.searchsorted(
             sl_id[order], np.arange(n_slabs + 1)
         ).astype(np.int64)
         hub_slab = int(slab)
-        hub_eorder = order.astype(np.int32)
-        hub_lin = lin.astype(np.int32)  # K*slab <= budget/4 < 2^31
+        hub_eorder = sel[order].astype(np.int32)
+        hub_lin = lin.astype(np.int32)  # khp*slab <= budget/4 < 2^31
+        hub_kmap = kmap
+        hub_kh = khp
 
     out_cap = int(np.minimum(rf, b.ncols).sum())
     return EllPlan(
@@ -300,6 +323,8 @@ def plan_ell(
         hub_eorder=hub_eorder,
         hub_lin=hub_lin,
         hub_sptr=hub_sptr,
+        hub_kmap=hub_kmap,
+        hub_kh=hub_kh,
         rows=m,
         ncols=b.ncols,
         out_cap=max(out_cap, 1),
@@ -583,14 +608,18 @@ def _tiles_impl(
     if plan.huge_rows.size:
         H = plan.huge_rows.size
         K, N = b.rows, ncols
-        # B densified in column slabs (width picked at plan time from an
-        # HBM budget — bounds peak memory at scale 16).  The scatter
-        # coordinates are HOST constants (B's structure is static in the
-        # plan) pre-partitioned by slab, so densify costs exactly nnz(B)
-        # scatter descriptors total, not nnz(B) x n_slabs.
+        # B densified over the hub-visible B-row UNION (kh of K rows —
+        # the densify is dense-array-traffic bound, probe_bdense2) in
+        # column slabs (width picked at plan time from an HBM budget —
+        # bounds peak memory at scale 16 and stays under the ~0.5 GB
+        # scatter cliff).  The scatter coordinates are HOST constants
+        # (B's structure is static in the plan) pre-partitioned by slab,
+        # so densify costs exactly nnz(B∩union) scatter descriptors
+        # total, not nnz(B) x n_slabs.
         slab = plan.hub_slab
+        khp = plan.hub_kh
+        kmap = jnp.asarray(plan.hub_kmap)
         n_slabs = -(-N // slab)
-        bnnz = int(plan.hub_sptr[-1])
         # opt-in bf16 MXU inputs for the hub matmul (4x MXU rate on
         # v5e; accumulation stays f32 via preferred_element_type).
         # Read at trace time — a bench knob, not a per-call switch.
@@ -600,17 +629,16 @@ def _tiles_impl(
         def _b_slab(sl):
             e0, e1 = int(plan.hub_sptr[sl]), int(plan.hub_sptr[sl + 1])
             lin = jnp.asarray(plan.hub_lin[e0:e1])
-            if n_slabs == 1:
-                # single slab: hub_eorder is the identity — scatter
-                # b.values directly, no gather
-                vals = b.values[:bnnz]
-            else:
-                vals = jnp.take(b.values, jnp.asarray(plan.hub_eorder[e0:e1]))
+            vals = jnp.take(b.values, jnp.asarray(plan.hub_eorder[e0:e1]))
             return (
-                jnp.zeros((K * slab,), QVALUE_DTYPE)
+                jnp.zeros((khp * slab,), mxu_dt)
                 .at[lin]
-                .set(vals, mode="promise_in_bounds", unique_indices=True)
-                .reshape(K, slab)
+                .set(
+                    vals.astype(mxu_dt),
+                    mode="promise_in_bounds",
+                    unique_indices=True,
+                )
+                .reshape(khp, slab)
             )
 
         # NOTE: densification cannot represent explicit zeros, so products
@@ -631,9 +659,13 @@ def _tiles_impl(
                     np.arange(hc, dtype=np.int32), hlens[h0:h1]
                 )
             )
-            a_d = jnp.zeros((hcp, K), QVALUE_DTYPE)
+            # hub entry columns are in the union by construction
+            kcol = jnp.take(
+                kmap, jnp.clip(jnp.take(a.col_ind, src), 0, K - 1)
+            )
+            a_d = jnp.zeros((hcp, khp), QVALUE_DTYPE)
             a_d = a_d.at[
-                rows_rep, jnp.clip(jnp.take(a.col_ind, src), 0, K - 1)
+                rows_rep, jnp.clip(kcol, 0, khp - 1)
             ].add(jnp.take(a.values, src))
             a_ds.append((hc, hcp, a_d.astype(mxu_dt)))
         # slab-OUTER matmul loop: each slab is built, consumed by every
@@ -833,6 +865,8 @@ def _assemble_body(
         [fc.reshape(-1, W), fvb.reshape(-1, W)], axis=1
     )
     nr = src.shape[0]
+    if _stage == 10:  # profiling cutoff: window-source construction only
+        return (jnp.sum(src),)
 
     def win_gather(p0):
         """[Q] flat positions -> ([Q, W] cols, [Q, W] f32 vals)."""

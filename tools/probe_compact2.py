@@ -1,9 +1,8 @@
 """Probe: why hub compaction costs ~12 ms IN CONTEXT but 0.5 ms isolated.
 
-Hypothesis: the (hcp, ncp) matmul output arrives in a layout the Pallas
-custom call can't consume, inserting a relayout/copy; or the fusion
-boundary changes.  Measure matmul-only vs matmul+compact vs
-matmul+lane-sort-fallback at the s14 hub shape.
+Reproduce the real hub context exactly: B-dense built on device by a
+linear-index scatter (small host constants), then the (H, K) @ (K, N)
+matmul, then compact_nonzero_rows — and time cumulative cutoffs.
 
 Usage: python tools/probe_compact2.py [H] [K] [N]
 """
@@ -25,39 +24,44 @@ def main():
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 16384
     rng = np.random.default_rng(0)
-    # sparse-ish B so c_d has realistic zero density
-    bd = (rng.random((k, n)) < 0.0005).astype(np.float32) * rng.random((k, n)).astype(np.float32)
-    ad = (rng.random((h, k)) < 0.02).astype(np.float32)
-    dbd = jnp.asarray(bd)
-    dad = jnp.asarray(ad)
+    bnnz = 120_000
+    lin = jnp.asarray(
+        rng.choice(k * n, size=bnnz, replace=False).astype(np.int64)
+    )
+    bval = jnp.asarray(rng.random(bnnz).astype(np.float32) + 0.1)
+    ad = jnp.asarray((rng.random((h, k)) < 0.02).astype(np.float32))
     print(f"backend={jax.default_backend()} H={h} K={k} N={n}", flush=True)
 
-    ms = slope_bench(lambda x: jnp.dot(dad + x, dbd, preferred_element_type=jnp.float32))
-    print(f"matmul only:            {ms:8.2f} ms", flush=True)
+    def bdense(x):
+        return (
+            jnp.zeros((k * n,), jnp.float32)
+            .at[lin]
+            .set(bval + x)
+            .reshape(k, n)
+        )
 
-    def mm_compact(x):
-        c = jnp.dot(dad + x, dbd, preferred_element_type=jnp.float32)
-        return compact_nonzero_rows(c, n)
+    ms = slope_bench(lambda x: bdense(x))
+    print(f"bdense only:             {ms:8.2f} ms", flush=True)
 
-    ms = slope_bench(mm_compact)
-    print(f"matmul + compact:       {ms:8.2f} ms", flush=True)
+    def mm(x):
+        return jnp.dot(ad + x, bdense(x), preferred_element_type=jnp.float32)
 
-    def mm_copy_compact(x):
-        c = jnp.dot(dad + x, dbd, preferred_element_type=jnp.float32)
-        c = jax.lax.optimization_barrier(c * 1.0)
-        return compact_nonzero_rows(c, n)
+    ms = slope_bench(lambda x: jnp.sum(mm(x) ** 2))
+    print(f"bdense+matmul (sum c^2): {ms:8.2f} ms", flush=True)
 
-    ms = slope_bench(mm_copy_compact)
-    print(f"matmul + barrier+compact:{ms:7.2f} ms", flush=True)
+    ms = slope_bench(lambda x: mm(x))
+    print(f"bdense+matmul (materialized): {ms:8.2f} ms", flush=True)
 
-    def mm_sort(x):
-        c = jnp.dot(dad + x, dbd, preferred_element_type=jnp.float32)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
-        key = jnp.where(c != 0, lanes, n)
-        return jax.lax.sort((key, c), dimension=1, num_keys=1)
+    ms = slope_bench(lambda x: compact_nonzero_rows(mm(x), n))
+    print(f"bdense+matmul+compact:   {ms:8.2f} ms", flush=True)
 
-    ms = slope_bench(mm_sort)
-    print(f"matmul + XLA lane sort: {ms:8.2f} ms", flush=True)
+    def with_counts(x):
+        key, vals = compact_nonzero_rows(mm(x), n)
+        cnt = jnp.sum(key < n, axis=1)
+        return key, vals, cnt
+
+    ms = slope_bench(with_counts)
+    print(f"... + counts + reshape:  {ms:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -112,6 +112,7 @@ def main():
         ("tiles s5 +compact", tiles_stage(5)),
         ("tiles full", tiles_stage(99)),
         ("asm s0 idx", asm_stage(0)),
+        ("asm s10 winsrc", asm_stage(10)),
         ("asm s1 +windows", asm_stage(1)),
         ("asm full", asm_stage(99)),
         ("fused total", fused_step),
