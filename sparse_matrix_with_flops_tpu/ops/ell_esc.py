@@ -878,11 +878,14 @@ def _assemble_body(
         )  # [Q, 4W]
         if use_pallas:
             # VMEM-resident variable roll: the XLA path below pays
-            # log2(W) HBM round trips for the conditional rolls
+            # log2(W) HBM round trips for the conditional rolls.
+            # rows_per_step=64: at 8 the s14 grid was ~7.7k steps of
+            # (8, 512) — per-step DMA latency dominated the kernel
             from .pallas_sort import align_windows
 
+            rps = 64
             qn = g.shape[0]
-            qpad = -(-qn // 8) * 8
+            qpad = -(-qn // rps) * rps
             if qpad != qn:
                 g = jnp.concatenate(
                     [g, jnp.zeros((qpad - qn, 4 * W), jnp.int32)]
@@ -894,6 +897,7 @@ def _assemble_body(
                 g,
                 off[:, None].astype(jnp.int32),
                 interpret=jax.default_backend() != "tpu",
+                rows_per_step=rps,
             )
             return (
                 gc[:qn],

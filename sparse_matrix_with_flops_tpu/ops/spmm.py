@@ -121,10 +121,20 @@ def _bcsr_spmm_pallas(
     return out[: a.rows, :n].astype(QVALUE_DTYPE)
 
 
-def bcsr_spmm(a: BCSR, b: jax.Array, n_tile: int = 128) -> jax.Array:
-    """Pallas blocked SpMM (falls back to interpret mode off-TPU)."""
+def bcsr_spmm(
+    a: BCSR, b: jax.Array, n_tile: int = 128, kernel: str = "xla"
+) -> jax.Array:
+    """Blocked SpMM.  ``kernel='xla'`` (default): gather + batched-einsum
+    + block scatter — measured 2.6x FASTER than the Pallas scalar-
+    prefetch kernel at FEM-band shapes on v5e (tools/probe_spmm.py,
+    2026-08-19: 1.18 vs 3.05 ms at n=8192, N=512; the Pallas grid pays
+    per-step DMA latency on (br, n_tile) blocks).  ``kernel='pallas'``
+    keeps the scalar-prefetch kernel (TPU-validated, docs/TPU_SMOKE.log)
+    for shapes with many blocks per row where prefetch wins."""
     import numpy as np
 
+    if kernel == "xla":
+        return bcsr_spmm_xla(a, b)
     counts = np.asarray(a.block_row_ptr)
     max_blocks = int(np.max(np.diff(counts))) if counts.size > 1 else 0
     if max_blocks == 0:

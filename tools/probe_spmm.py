@@ -36,11 +36,19 @@ def main():
         flush=True,
     )
 
-    ms = slope_bench(lambda x: bcsr_spmm(ab, bmat + x))
+    ms = slope_bench(lambda x: bcsr_spmm(ab, bmat + x, kernel='pallas'))
     print(f"bcsr_spmm (Pallas):  {ms:8.2f} ms = {flops/ms/1e9:7.1f} GFLOP/s", flush=True)
     ms = slope_bench(lambda x: bcsr_spmm_xla(ab, bmat + x))
     print(f"bcsr_spmm_xla:       {ms:8.2f} ms = {flops/ms/1e9:7.1f} GFLOP/s", flush=True)
-    ad = jnp.asarray(np.asarray(a.to_dense()))
+    # dense bound operand built ON DEVICE (a host constant this size
+    # exceeds the tunnel's request-body limit)
+    rp = jnp.asarray(a.row_ptr)
+    ci = jnp.asarray(a.col_ind)
+    vv = jnp.asarray(a.values)
+    nnz = int(np.asarray(a.row_ptr)[-1])
+    erow = jnp.repeat(jnp.arange(n), jnp.diff(rp), total_repeat_length=ci.shape[0])
+    ad = jnp.zeros((n, n), jnp.float32).at[erow[:nnz], jnp.clip(ci[:nnz], 0, n - 1)].set(vv[:nnz])
+    ad = jax.block_until_ready(ad)
     dflops = 2.0 * n * n * nb
     ms = slope_bench(lambda x: jnp.dot(ad, bmat + x, preferred_element_type=jnp.float32))
     print(f"dense matmul bound:  {ms:8.2f} ms = {dflops/ms/1e9:7.1f} GFLOP/s (dense accounting)", flush=True)
