@@ -548,6 +548,11 @@ def _tiles_impl(
                 tc = jnp.where(flip, t3[:, :, ::-1], t3).reshape(-1, W)
                 v3 = tv.reshape(-1, nch, chunk)
                 tv = jnp.where(flip, v3[:, :, ::-1], v3).reshape(-1, W)
+            # rows/step stays 8: Mosaic's vector_extract_strided_slice
+            # aborts on this kernel's packed row-slices for any taller
+            # block (array.h limits check, measured at rps 64/256,
+            # 2026-08-19) — unlike align_windows, which runs at 64.  The
+            # narrow bins' per-step DMA overhead is minor (~1 ms total).
             rpadded = -(-tc.shape[0] // 8) * 8
             if rpadded != tc.shape[0]:
                 padr = rpadded - tc.shape[0]
@@ -864,6 +869,11 @@ def _assemble_body(
     src = jnp.concatenate(
         [fc.reshape(-1, W), fvb.reshape(-1, W)], axis=1
     )
+    # materialization fence: in the FUSED single-dispatch program XLA
+    # otherwise fuses this concat/reshape INTO the window takes below,
+    # degrading 2-descriptor row gathers into element-granular addressing
+    # (measured: fused total 31.3 ms vs 16.3 tiles + 6.5 asm standalone)
+    src = jax.lax.optimization_barrier(src)
     nr = src.shape[0]
     if _stage == 10:  # profiling cutoff: window-source construction only
         return (jnp.sum(src),)

@@ -338,3 +338,38 @@ def test_assembly_window_boundaries(rng, max_w):
             want._drop_explicit_zeros(), tol=1e-5
         )
     )
+
+
+def test_hub_union_restriction_exact(rng):
+    """Hub rows' dense contraction space is restricted to the union of B
+    rows they reference (plan.hub_kmap/hub_kh); the result must stay
+    exact when that union is a small subset of K."""
+    n = 640
+    # B: rows 0..9 wide (180 entries), the rest light (3 entries)
+    bd = np.zeros((n, n), np.float32)
+    for j in range(10):
+        bd[j, np.sort(rng.choice(n, size=180, replace=False))] = (
+            rng.standard_normal(180).astype(np.float32)
+        )
+    for i in range(10, n):
+        bd[i, rng.choice(n, size=3, replace=False)] = 1.0
+    b = CSR.from_dense(bd)
+    # A: rows 3 and 7 reference ONLY B rows 0..9 (heavy -> hub); the
+    # rest reference light B rows
+    ad = np.zeros((16, n), np.float32)
+    for r in (3, 7):
+        ad[r, :10] = rng.standard_normal(10).astype(np.float32)
+    for r in range(16):
+        if r not in (3, 7):
+            ad[r, rng.choice(np.arange(10, n), size=2, replace=False)] = 1.0
+    a = CSR.from_dense(ad)
+    plan = plan_ell(a, b, chunk=64, max_w=256)
+    assert plan.huge_rows.size > 0
+    assert plan.hub_kh < b.rows  # the union restriction engaged
+    got = spgemm_ell(a, b, plan)
+    want = spgemm_dense_oracle(a, b)
+    assert bool(
+        got._drop_explicit_zeros().is_raw_equal(
+            want._drop_explicit_zeros(), tol=1e-4
+        )
+    )
