@@ -340,6 +340,29 @@ def sharded_rmcl_ell_scan(
                     lv[0],
                     axis,
                 )
+            elif exchange == "pallas_ring":
+                # explicit-RDMA ring all-gather (make_async_remote_copy,
+                # transfer/copy overlap in-kernel; parallel/pallas_ring)
+                from .pallas_ring import ring_all_gather, unrotate
+
+                interp = jax.default_backend() != "tpu"
+                d = plan.num_shards
+                g_c = unrotate(
+                    ring_all_gather(lc[0], axis, d, interpret=interp),
+                    axis, d,
+                )
+                g_v = unrotate(
+                    ring_all_gather(lv[0], axis, d, interpret=interp),
+                    axis, d,
+                )
+                seg_c, seg_v = _segments_gathered(
+                    plan, a_rp[0], a_ci[0], a_v[0], g_c, g_v
+                )
+                c_h = (
+                    _hub_dense_products(a_dense[0], g_c, g_v, n)
+                    if plan.hmax
+                    else None
+                )
             else:
                 g_c = jax.lax.all_gather(lc[0], axis).reshape(n, S)
                 g_v = jax.lax.all_gather(lv[0], axis).reshape(n, S)
