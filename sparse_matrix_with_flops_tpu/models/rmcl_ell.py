@@ -52,6 +52,13 @@ class RmclEllPlan:
     huge_src: np.ndarray  # entry indices of huge rows (concatenated)
     huge_lens: np.ndarray
     hub_precision: str = "f32"  # "bf16" = single whole-width densify
+    # hub contraction restricted to the union of iterate rows the hub
+    # rows reference (Mgt is static, so the union is a plan constant) —
+    # the ell_esc hub-union law: the densify cost is dense-array traffic
+    # plus one element scatter per (union row, S), both ∝ kh/n
+    hub_krows: np.ndarray | None = None  # int32[khp], -1 padded
+    hub_kmap: np.ndarray | None = None  # int32[n]: global -> local, -1
+    hub_kh: int = 0  # padded union size (multiple of 128)
 
     __hash__ = object.__hash__
 
@@ -91,6 +98,17 @@ def plan_rmcl_ell(
         else np.zeros(0, np.int32)
     )
     huge_lens = deg[huge].astype(np.int32)
+    hub_krows, hub_kmap, hub_kh = None, None, 0
+    if huge.size:
+        ci = np.asarray(mgt.col_ind)
+        krows = np.unique(np.clip(ci[huge_src], 0, m - 1))
+        kh = int(krows.size)
+        khp = max(128, -(-kh // 128) * 128)
+        hub_krows = np.full(khp, -1, np.int32)
+        hub_krows[:kh] = krows
+        hub_kmap = np.full(m, -1, np.int32)
+        hub_kmap[krows] = np.arange(kh, dtype=np.int32)
+        hub_kh = khp
     return RmclEllPlan(
         n=m,
         S=int(S),
@@ -99,6 +117,9 @@ def plan_rmcl_ell(
         huge_src=huge_src,
         huge_lens=huge_lens,
         hub_precision=hub_precision,
+        hub_krows=hub_krows,
+        hub_kmap=hub_kmap,
+        hub_kh=hub_kh,
     )
 
 
@@ -159,37 +180,51 @@ def _prune_select_lanes(key, uval, n, S):
     return sc.astype(INDEX_DTYPE), sw.astype(QVALUE_DTYPE), truncated
 
 
-def _hub_dense_products(a_dense, cols, vals, n: int, precision: str = "f32"):
+def _hub_dense_products(
+    a_dense, cols, vals, n: int, precision: str = "f32",
+    krows=None, khp: int = 0,
+):
     """C_hub = A_hub_dense · dense(iterate) (shared by the single-chip and
     sharded steps).
 
-    ``precision="f32"``: f32 column slabs bounded to ~3GB — exact, but each
-    slab pays a full n*S-update scatter of the iterate.
-    ``precision="bf16"``: ONE whole-width bf16 densification + bf16 MXU
-    matmul with f32 accumulation — ~slabs× fewer scatter updates and half
-    the bytes; hub-row values carry ~3 significant digits (the prune
-    threshold math tolerates it; enable for large n).
+    When ``krows/khp`` are given, ``a_dense`` is [H, khp] over the UNION
+    of iterate rows the hub rows reference, and only those rows of the
+    iterate are gathered and densified — both the dense-slab traffic and
+    the per-(row, S) element scatter shrink by kh/n (the ell_esc
+    hub-union law; at R-MAT s14 kh/n ≈ 0.49).  The slab budget is
+    512 MB: dense scatter targets past ~0.5 GB drop ~5× in rate
+    (docs/ROOFLINE.md, probe_bdense2).
+
+    ``precision="bf16"``: bf16 densification + bf16 MXU matmul with f32
+    accumulation — half the bytes; hub-row values carry ~3 significant
+    digits (the prune threshold math tolerates it; enable for large n).
     """
     S = cols.shape[1]
-    rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (n, S), 0)
-    if precision == "bf16":
-        md = jnp.zeros((n, n), jnp.bfloat16)
-        md = md.at[rix, cols].add(vals.astype(jnp.bfloat16), mode="drop")
-        return jnp.dot(
-            a_dense.astype(jnp.bfloat16), md, preferred_element_type=jnp.float32
-        )
-    # fewer, bigger slabs win: budget ~3GB for the dense slab
+    if krows is not None:
+        kr = jnp.asarray(krows)
+        safe = jnp.clip(kr, 0, n - 1)
+        ok = (kr >= 0)[:, None]
+        cols = jnp.where(ok, jnp.take(cols, safe, axis=0), n)
+        vals = jnp.where(ok, jnp.take(vals, safe, axis=0), 0.0)
+        rows = khp
+    else:
+        rows = n
+    rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (rows, S), 0)
+    dt = jnp.bfloat16 if precision == "bf16" else QVALUE_DTYPE
     slab = n
-    while n * slab * 4 > (3 << 30) and slab > 1024:
+    while rows * slab * jnp.dtype(dt).itemsize > (1 << 29) and slab > 1024:
         slab = -(-slab // 2)
     parts = []
     for s0 in range(0, n, slab):
         loc = cols - s0
         tgt = jnp.where((loc >= 0) & (loc < slab), loc, slab)
-        md = jnp.zeros((n, slab), QVALUE_DTYPE)
-        md = md.at[rix, tgt].add(vals, mode="drop")
-        parts.append(jnp.dot(a_dense, md, preferred_element_type=jnp.float32))
-    return jnp.concatenate(parts, axis=1)[:, :n]
+        md = jnp.zeros((rows, slab), dt)
+        md = md.at[rix, tgt].add(vals.astype(dt), mode="drop")
+        parts.append(
+            jnp.dot(a_dense.astype(dt), md, preferred_element_type=jnp.float32)
+        )
+    out = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return out[:, :n]
 
 
 def _ell_drift_sq(old_c, old_v, new_c, new_v, n: int):
@@ -198,14 +233,50 @@ def _ell_drift_sq(old_c, old_v, new_c, new_v, n: int):
     r = old_c.shape[0]
     mc = jnp.concatenate([old_c, new_c], axis=1)
     mv = jnp.concatenate([-old_v, new_v], axis=1)
-    key2, runs = _dedup_tile(mc, mv, n)
+    key2, runs = _dedup_tile(mc, mv, n, run=old_c.shape[1])
     runs = jnp.where(key2 < n, runs, 0.0)
     return jnp.sum(runs * runs), jnp.sum(old_v * old_v)
 
 
-def _dedup_tile(tc, tv, n: int):
+def _dedup_tile(tc, tv, n: int, run: int = 0):
     """Sort + duplicate-sum + compact one [R, W] product tile (the ESC
-    core shared by the single-chip and sharded steps)."""
+    core shared by the single-chip and sharded steps).
+
+    ``run > 0``: the tile rows are concatenations of ``run``-wide SORTED
+    segments (gathered iterate rows are column-sorted, sentinel-padded),
+    so on TPU the Pallas presorted-run bitonic runs the whole
+    sort/dedup/compact in VMEM starting at k=2·run — and its run-local
+    segmented sums are exact, unlike this XLA path's cumsum-difference
+    (~1e-4 abs on wide tiles)."""
+    W = tc.shape[1]
+    if (
+        run
+        and W >= 128
+        and W % run == 0
+        and run & (run - 1) == 0
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.pallas_sort import sort_dedup_compact
+
+        nseg = W // run
+        if nseg > 1:
+            # reverse odd segments: the bitonic alternating-run invariant
+            flip = (jnp.arange(nseg) & 1).astype(bool)[None, :, None]
+            t3 = tc.reshape(-1, nseg, run)
+            tc = jnp.where(flip, t3[:, :, ::-1], t3).reshape(-1, W)
+            v3 = tv.reshape(-1, nseg, run)
+            tv = jnp.where(flip, v3[:, :, ::-1], v3).reshape(-1, W)
+        r0 = tc.shape[0]
+        rp = -(-r0 // 8) * 8
+        if rp != r0:
+            tc = jnp.concatenate(
+                [tc, jnp.full((rp - r0, W), n, INDEX_DTYPE)], axis=0
+            )
+            tv = jnp.concatenate(
+                [tv, jnp.zeros((rp - r0, W), QVALUE_DTYPE)], axis=0
+            )
+        key2, uval = sort_dedup_compact(tc, tv, n, presorted=run)
+        return key2[:r0], uval[:r0]
     tc, tv = jax.lax.sort((tc, tv), dimension=1, num_keys=1)
     csum = jnp.cumsum(tv, axis=1)
     nxt = jnp.concatenate(
@@ -250,7 +321,7 @@ def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
         W = D * S
         tc = jnp.take(seg_c, src, axis=0).reshape(-1, W)
         tv = jnp.take(seg_v, src, axis=0).reshape(-1, W)
-        key2, uval = _dedup_tile(tc, tv, n)
+        key2, uval = _dedup_tile(tc, tv, n, run=S)
         sc, sw, truncated = _prune_select_lanes(key2, uval, n, S)
         rid = jnp.asarray(row_ids)
         new_cols = new_cols.at[rid].set(sc, mode="drop")
@@ -259,9 +330,11 @@ def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
         trunc_rows = trunc_rows + jnp.sum(truncated)
 
     if plan.huge_rows.size:
-        # hub rows: dense MXU matmul against the densified iterate
+        # hub rows: dense MXU matmul against the densified iterate,
+        # restricted to the union of iterate rows the hub references
         c_h = _hub_dense_products(
-            a_dense_huge, mt_cols, mt_vals, n, plan.hub_precision
+            a_dense_huge, mt_cols, mt_vals, n, plan.hub_precision,
+            krows=plan.hub_krows, khp=plan.hub_kh,
         )
         lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, c_h.shape, 1)
         key = jnp.where(c_h != 0, lanes, n)
@@ -281,17 +354,21 @@ def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
 
 
 def _dense_huge(mgt: CSR, plan: RmclEllPlan):
+    """Dense Mgt hub-row block over the UNION contraction space
+    ([H, hub_kh]; columns remapped through hub_kmap)."""
     if not plan.huge_rows.size:
-        return jnp.zeros((0, plan.n), QVALUE_DTYPE)
+        return jnp.zeros((0, max(plan.hub_kh, 1)), QVALUE_DTYPE)
     rows_rep = jnp.asarray(
         np.repeat(
             np.arange(plan.huge_rows.size, dtype=np.int32), plan.huge_lens
         )
     )
     src = jnp.asarray(plan.huge_src)
-    a_d = jnp.zeros((plan.huge_rows.size, plan.n), QVALUE_DTYPE)
+    kmap = jnp.asarray(plan.hub_kmap)
+    kcol = jnp.take(kmap, jnp.clip(jnp.take(mgt.col_ind, src), 0, plan.n - 1))
+    a_d = jnp.zeros((plan.huge_rows.size, plan.hub_kh), QVALUE_DTYPE)
     return a_d.at[
-        rows_rep, jnp.clip(jnp.take(mgt.col_ind, src), 0, plan.n - 1)
+        rows_rep, jnp.clip(kcol, 0, plan.hub_kh - 1)
     ].add(jnp.take(mgt.values, src))
 
 

@@ -64,6 +64,9 @@ class ShardedRmclPlan:
     hmax: int  # unified hub-row count per shard
     num_shards: int = 0
     step_widths: tuple = ()  # ring mode: per-rotation-step entry-group pad
+    # gather-mode hub union (global across shards; plan constants)
+    hub_krows: np.ndarray | None = None  # int32[hub_kh], -1 padded
+    hub_kh: int = 0
 
     __hash__ = object.__hash__
 
@@ -136,7 +139,29 @@ def plan_sharded_rmcl_ell(
             seg = slice(int(rp[r]), int(rp[r + 1]))
             np.add.at(a_dense[sh, hi], np.clip(col[seg], 0, n_pad - 1), val[seg])
     arrays["huge_rows"] = jnp.asarray(hrow_stack)
-    arrays["a_dense"] = jnp.asarray(a_dense)
+    # gather-mode hub: restrict the dense contraction to the union of
+    # iterate rows ANY shard's hub rows reference (global union so the
+    # SPMD shapes stay uniform) — the ell_esc hub-union law
+    ucols = []
+    for sh, (rp, deg, _, huge) in enumerate(per_shard):
+        col = np.asarray(smgt.col_ind[sh])
+        for r in huge:
+            ucols.append(
+                np.clip(col[int(rp[r]) : int(rp[r + 1])], 0, n_pad - 1)
+            )
+    if ucols:
+        krows = np.unique(np.concatenate(ucols))
+        kh = int(krows.size)
+        khp = max(128, -(-kh // 128) * 128)
+        kr_pad = np.full(khp, -1, np.int32)
+        kr_pad[:kh] = krows
+        a_dense_u = np.zeros((num_shards, max(hmax, 1), khp), np.float32)
+        a_dense_u[:, :, :kh] = a_dense[:, :, krows]
+    else:
+        khp = 128
+        kr_pad = np.full(khp, -1, np.int32)
+        a_dense_u = np.zeros((num_shards, max(hmax, 1), khp), np.float32)
+    arrays["a_dense_u"] = jnp.asarray(a_dense_u)
     # ring-mode hub layout: colblk[me, v] = shard v's hub-row block
     # restricted to shard me's iterate columns ([D_me, D_v, hmax, lr]) —
     # at rotation step k chip me applies colblk[me, (me-k)%D] to its OWN
@@ -185,6 +210,8 @@ def plan_sharded_rmcl_ell(
         hmax=int(hmax),
         num_shards=num_shards,
         step_widths=tuple(step_widths),
+        hub_krows=kr_pad,
+        hub_kh=int(khp),
     )
     return plan, arrays, smgt
 
@@ -282,7 +309,7 @@ def _local_step(plan, a_rp, a_ci, a_v, row_ids, ent_src, huge_rows, a_dense,
         W = dc * S
         tc = jnp.take(seg_c, s, axis=0).reshape(rpad, W)
         tv = jnp.take(seg_v, s, axis=0).reshape(rpad, W)
-        key2, uval = _dedup_tile(tc, tv, n)
+        key2, uval = _dedup_tile(tc, tv, n, run=S)
         sc, sw, truncated = _prune_select_lanes(key2, uval, n, S)
         tgt = jnp.where(rid >= 0, rid, lr)
         new_cols = new_cols.at[tgt].set(sc, mode="drop")
@@ -324,7 +351,7 @@ def sharded_rmcl_ell_scan(
     n, S, lr = plan.n, plan.S, plan.lr
 
     def kernel(
-        a_rp, a_ci, a_v, row_ids, ent_src, step_ents, huge_rows, a_dense,
+        a_rp, a_ci, a_v, row_ids, ent_src, step_ents, huge_rows, a_dense_u,
         a_colblk, c0, v0,
     ):
         def step(carry, _):
@@ -359,7 +386,11 @@ def sharded_rmcl_ell_scan(
                     plan, a_rp[0], a_ci[0], a_v[0], g_c, g_v
                 )
                 c_h = (
-                    _hub_dense_products(a_dense[0], g_c, g_v, n)
+                    _hub_dense_products(
+                        a_dense_u[0], g_c, g_v, n,
+                        krows=jnp.asarray(plan.hub_krows),
+                        khp=plan.hub_kh,
+                    )
                     if plan.hmax
                     else None
                 )
@@ -370,7 +401,11 @@ def sharded_rmcl_ell_scan(
                     plan, a_rp[0], a_ci[0], a_v[0], g_c, g_v
                 )
                 c_h = (
-                    _hub_dense_products(a_dense[0], g_c, g_v, n)
+                    _hub_dense_products(
+                        a_dense_u[0], g_c, g_v, n,
+                        krows=jnp.asarray(plan.hub_krows),
+                        khp=plan.hub_kh,
+                    )
                     if plan.hmax
                     else None
                 )
@@ -382,7 +417,7 @@ def sharded_rmcl_ell_scan(
                 [r[0] for r in row_ids],
                 [s[0] for s in ent_src],
                 huge_rows[0],
-                a_dense[0],
+                a_dense_u[0],
                 seg_c,
                 seg_v,
                 c_h,
@@ -424,7 +459,7 @@ def sharded_rmcl_ell_scan(
         arrays["ent_src"],
         arrays["step_ents"],
         arrays["huge_rows"],
-        arrays["a_dense"],
+        arrays["a_dense_u"],
         arrays["a_dense_colblk"],
         mt_cols,
         mt_vals,
