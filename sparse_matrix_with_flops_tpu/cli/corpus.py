@@ -231,6 +231,8 @@ def main(argv=None) -> int:
     sink = open(args.out, "a") if args.out else None
     for name, a in jobs:
         if args.parts > 1:
+            if args.kernel != "ell":
+                p.error("--parts > 1 supports only --kernel ell")
             rec = run_partitioned(
                 name, a, args.parts, check=args.check,
                 chunk=args.chunk, max_w=args.max_w,

@@ -403,6 +403,9 @@ def rmcl_ell(
     from ..formats.coo import COO
 
     mt0 = rmcl_init(graph) if isinstance(graph, COO) else graph
+    # the Pallas presorted dedup requires column-sorted rows; rmcl_init
+    # guarantees it, a caller-supplied CSR may not — normalise once
+    mt0 = mt0.make_ordered()
     plan = plan_rmcl_ell(
         mt0, S=S, max_tile=max_tile, hub_precision=hub_precision
     )

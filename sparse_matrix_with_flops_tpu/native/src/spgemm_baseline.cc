@@ -69,7 +69,8 @@ int smf_spgemm_mt(const int32_t* arp, const int32_t* aci, const float* av,
   double best = 1e30;
   int64_t nnzc = 0;
   for (int rep = 0; rep < iters; ++rep) {
-    std::vector<int32_t> ic(m + 1, 0);
+    // int64 row pointers: nnz(C) can exceed 2^31 at corpus scales
+    std::vector<int64_t> ic(m + 1, 0);
     int32_t* jc = nullptr;
     float* cv = nullptr;
     const double t0 = omp_get_wtime();
@@ -121,7 +122,7 @@ int smf_spgemm_mt(const int32_t* arp, const int32_t* aci, const float* av,
             x[col] += a * bv[f];
           }
         }
-        const int32_t base = ic[i];
+        const int64_t base = ic[i];
         for (int32_t s = 0; s < cnt; ++s) {
           const int32_t col = touched[s];
           jc[base + s] = col;

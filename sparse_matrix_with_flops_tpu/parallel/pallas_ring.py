@@ -1,13 +1,18 @@
-"""Pallas ring all-gather: inter-chip RDMA with transfer/copy overlap.
+"""Pallas ring all-gather over explicit inter-chip RDMA.
 
 The blueprint's last distributed row (SURVEY.md §2.6) names "async
-remote copies" as the comm/compute-overlap mechanism for the rotating
-B-block exchange.  `jax.lax.ppermute` delegates that overlap to XLA's
-async collective-permute; this module implements the rotation DIRECTLY
-with `pltpu.make_async_remote_copy` so the overlap is explicit and
-schedulable: each step STARTS the next block's RDMA before copying the
-received block into the output, so the wire transfer of step k+1 rides
-under the VMEM->HBM copy of step k.
+remote copies" as the mechanism for the rotating B-block exchange.
+`jax.lax.ppermute` leaves the schedule to XLA; this module implements
+the rotation DIRECTLY with `pltpu.make_async_remote_copy`: blocks are
+forwarded straight between OUTPUT regions, each region written exactly
+once with its own DMA semaphore pair — no staging-buffer reuse, hence
+no write-after-read hazard and no credit protocol (a double-buffered
+staging design needs upstream credits: ring causality does NOT order a
+neighbour's next write against this chip's in-flight read of the same
+slot).  The serial d-1-hop chain is the all-gather critical path;
+overlapping COMPUTE with the remaining hops (consuming block k's
+segments while block k+1 flies) is the natural extension point for a
+fused distributed SpGEMM kernel.
 
 Used as ``exchange="pallas_ring"`` in parallel.rmcl_ell — functionally
 an all-gather (full replica per chip, like exchange="all_gather") with
@@ -27,35 +32,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ring_ag_kernel(in_ref, out_ref, comm, send_sem, recv_sem, *, d, lr, axis):
+def _ring_ag_kernel(in_ref, out_ref, send_sem, recv_sem, *, d, lr, axis):
     me = jax.lax.axis_index(axis)
     dst = (me + 1) % d
 
     def rdma(k):
-        # step k forwards the block received at step k-1 (slot k%2) to
-        # the right neighbour's slot (k+1)%2.  Ring causality makes the
-        # double buffer safe: the left neighbour's step-(k+1) write into
-        # slot k%2 can only start after it received the block THIS chip
-        # sent at step k, i.e. after this chip's slot-k%2 read completed.
+        # step k forwards output block k (received at step k-1; block 0
+        # is the local input) into the right neighbour's block k+1.
+        # Every output region is written exactly ONCE and read only
+        # after its recv semaphore — no buffer reuse, so no WAR race
+        # (the earlier double-buffered staging design had one: nothing
+        # gated a neighbour's next write against this chip's in-flight
+        # read of the same slot).  One DMA semaphore pair per step.
         return pltpu.make_async_remote_copy(
-            src_ref=comm.at[k % 2],
-            dst_ref=comm.at[(k + 1) % 2],
-            send_sem=send_sem.at[k % 2],
-            recv_sem=recv_sem.at[(k + 1) % 2],
+            src_ref=out_ref.at[pl.ds(k * lr, lr)],
+            dst_ref=out_ref.at[pl.ds((k + 1) * lr, lr)],
+            send_sem=send_sem.at[k],
+            recv_sem=recv_sem.at[k],
             device_id=dst,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
 
-    comm[0] = in_ref[...]
-    if d > 1:
-        rdma(0).start()
-    out_ref[pl.ds(0, lr)] = in_ref[...]  # overlaps transfer 0
+    out_ref[pl.ds(0, lr)] = in_ref[...]
     for k in range(d - 1):
-        rdma(k).wait()  # block of shard (me-k-1) mod d lands in (k+1)%2
-        if k + 1 < d - 1:
-            rdma(k + 1).start()
-        # the received block's output copy overlaps transfer k+1
-        out_ref[pl.ds((k + 1) * lr, lr)] = comm[(k + 1) % 2]
+        # block k is resident (k=0: just written; k>0: waited last step)
+        rdma(k).start()
+        rdma(k).wait()  # shard (me-k-1) mod d's block lands at k+1
 
 
 @partial(jax.jit, static_argnames=("axis", "d", "interpret"))
@@ -66,15 +68,15 @@ def ring_all_gather(x, axis: str, d: int, interpret: bool = False):
     (me - k) mod d — use :func:`unrotate` for owner-major order."""
     lr = x.shape[0]
     kern = partial(_ring_ag_kernel, d=d, lr=lr, axis=axis)
+    nsem = max(d - 1, 1)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((d * lr,) + x.shape[1:], x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2,) + x.shape, x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((nsem,)),
+            pltpu.SemaphoreType.DMA((nsem,)),
         ],
         compiler_params=pltpu.CompilerParams(collective_id=0),
         interpret=interpret,

@@ -369,6 +369,13 @@ def sharded_rmcl_adaptive(
     drive the rebalance decision (differs, spread, nnz, overflow).
     Unshard + final un-relabel happen once at the end.  Returns (final
     CSR in the ORIGINAL labelling, history dict).
+
+    Memory note: the repartition (and `sharded_rmcl_step` itself, which
+    all-gathers the iterate) peaks at O(nnz) per chip — this dynamic-mode
+    driver removes HOST round-trips, not the replica; a true all_to_all
+    re-deal (per-chip O(nnz/D)) is the memory-scalable upgrade and would
+    pair with the ring-exchange step.  For memory-scalable distributed
+    R-MCL use `rmcl_ell.sharded_rmcl_ell(exchange="ring")`.
     """
     from ..ops.flops import row_flops
     from .sharded import shard_csr, unshard_csr

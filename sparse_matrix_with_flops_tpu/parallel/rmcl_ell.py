@@ -489,6 +489,9 @@ def sharded_rmcl_ell(
     from ..models.rmcl_ell import ell_to_csr, mt_to_ell
 
     mt0 = rmcl_init(graph) if isinstance(graph, COO) else graph
+    # the Pallas presorted dedup requires column-sorted rows (see
+    # models.rmcl_ell.rmcl_ell)
+    mt0 = mt0.make_ordered()
     num_shards = mesh.devices.size
     inv_perm = None
     if balance:

@@ -36,11 +36,13 @@ def main():
         planted_partition_coo,
     )
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     out = None
-    for i, a in enumerate(sys.argv):
-        if a == "--out":
-            out = sys.argv[i + 1]
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = argv
     kc = int(args[0]) if len(args) > 0 else 64
     cs = int(args[1]) if len(args) > 1 else 64
     iters = int(args[2]) if len(args) > 2 else 8

@@ -69,6 +69,7 @@ def main():
     print("SpGEMM ring (B blocks rotate, ~2 nnz(B)/D x 4B x 2 per step):")
     for d in ds:
         lcap = -(-nnz // d)  # balanced local capacity
+        lr = -(-n // d)
         bytes_step = 4 * (2 * lcap + lr + 1)
         comm_ms = bytes_step / ICI_BW * 1e3
         comp_ms = SPGEMM_MS / d / d
