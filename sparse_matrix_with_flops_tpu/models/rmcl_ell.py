@@ -64,7 +64,7 @@ class RmclEllPlan:
 
 
 def plan_rmcl_ell(
-    mgt: CSR, S: int = 128, max_tile: int = 8192, hub_precision: str = "f32"
+    mgt: CSR, S: int = 128, max_tile: int = 16384, hub_precision: str = "f32"
 ) -> RmclEllPlan:
     """Bin Mgt rows by degree class; ent_src holds each row's A-entry ids
     (sentinel -1 padding)."""
@@ -124,7 +124,11 @@ def plan_rmcl_ell(
 
 
 def mt_to_ell(mt: CSR, S: int):
-    """Initial iterate: first-S truncation + renormalise (host)."""
+    """Initial iterate: duplicate-sum + first-S truncation + renormalise
+    (host).  The ELL iterate invariant — each row's columns sorted and
+    UNIQUE — is established here and preserved by every step
+    (_prune_select_lanes re-sorts and dedups); the hub densify's
+    unique-target scatter-SET relies on it."""
     rp = np.asarray(mt.row_ptr, dtype=np.int64)
     n = mt.rows
     cols = np.full((n, S), mt.ncols, np.int32)
@@ -132,9 +136,15 @@ def mt_to_ell(mt: CSR, S: int):
     c = np.asarray(mt.col_ind)
     v = np.asarray(mt.values)
     for i in range(n):
-        k = min(int(rp[i + 1] - rp[i]), S)
-        cols[i, :k] = c[rp[i] : rp[i] + k]
-        vals[i, :k] = v[rp[i] : rp[i] + k]
+        ci = c[rp[i] : rp[i + 1]]
+        vi = v[rp[i] : rp[i + 1]]
+        if ci.size:
+            uc, inv = np.unique(ci, return_inverse=True)
+            uv = np.zeros(uc.size, np.float32)
+            np.add.at(uv, inv, vi)
+            k = min(uc.size, S)
+            cols[i, :k] = uc[:k]
+            vals[i, :k] = uv[:k]
     s = vals.sum(axis=1, keepdims=True)
     vals = np.where(s > 0, vals / np.maximum(s, 1e-30), vals)
     return jnp.asarray(cols), jnp.asarray(vals)
@@ -210,6 +220,7 @@ def _hub_dense_products(
     else:
         rows = n
     rix = jax.lax.broadcasted_iota(INDEX_DTYPE, (rows, S), 0)
+    lane_s = jax.lax.broadcasted_iota(INDEX_DTYPE, (rows, S), 1)
     dt = jnp.bfloat16 if precision == "bf16" else QVALUE_DTYPE
     slab = n
     while rows * slab * jnp.dtype(dt).itemsize > (1 << 29) and slab > 1024:
@@ -217,9 +228,15 @@ def _hub_dense_products(
     parts = []
     for s0 in range(0, n, slab):
         loc = cols - s0
-        tgt = jnp.where((loc >= 0) & (loc < slab), loc, slab)
-        md = jnp.zeros((rows, slab), dt)
-        md = md.at[rix, tgt].add(vals.astype(dt), mode="drop")
+        # scatter-SET with genuinely unique targets (−25% vs scatter-ADD,
+        # probe_rmcl_hub): each iterate row's columns are unique, and
+        # out-of-slab/sentinel entries land on DISTINCT dummy columns
+        # slab+lane so the unique_indices promise holds for them too
+        tgt = jnp.where((loc >= 0) & (loc < slab), loc, slab + lane_s)
+        md = jnp.zeros((rows, slab + S), dt)
+        md = md.at[rix, tgt].set(
+            vals.astype(dt), mode="promise_in_bounds", unique_indices=True
+        )[:, :slab]
         parts.append(
             jnp.dot(a_dense.astype(dt), md, preferred_element_type=jnp.float32)
         )
@@ -292,11 +309,19 @@ def _dedup_tile(tc, tv, n: int, run: int = 0):
     return key2, uval
 
 
-@partial(jax.jit, static_argnames=("plan",))
-def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
+@partial(jax.jit, static_argnames=("plan", "_stage"))
+def rmcl_ell_step(
+    plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals,
+    _stage: int = 99,
+):
     """One fused iteration on the ELL iterate.  ``a_dense_huge`` is the
     precomputed dense block of Mgt's hub rows ([H, n] or None-shaped
-    (0, n))."""
+    (0, n)).
+
+    ``_stage`` truncates for slope profiling (tools/profile_rmcl.py):
+    0 = segments gather, 1 = + tile dedup, 2 = + prune/select, 3 = hub
+    only, 99 = full.  Cutoffs only bill work whose outputs they return
+    (the round-3 profiling lesson, docs/ROUND3_NOTES.md §3)."""
     n, S = plan.n, plan.S
 
     # per-entry segments: one row gather of the iterate
@@ -310,11 +335,14 @@ def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
     seg_c = jnp.concatenate([seg_c, jnp.full((1, S), n, INDEX_DTYPE)], axis=0)
     seg_v = jnp.concatenate([seg_v, jnp.zeros((1, S), QVALUE_DTYPE)], axis=0)
     sent = seg_c.shape[0] - 1
+    if _stage == 0:
+        return jnp.sum(seg_c), jnp.sum(seg_v), {}
 
     new_cols = jnp.full((n, S), n, INDEX_DTYPE)
     new_vals = jnp.zeros((n, S), QVALUE_DTYPE)
     nnz_out = jnp.zeros((), INDEX_DTYPE)
     trunc_rows = jnp.zeros((), INDEX_DTYPE)
+    s1_acc = []
     for D, row_ids, ent_src in plan.bins:
         src = jnp.asarray(ent_src)
         src = jnp.where(src >= 0, src, sent)
@@ -322,13 +350,31 @@ def rmcl_ell_step(plan: RmclEllPlan, a: CSR, a_dense_huge, mt_cols, mt_vals):
         tc = jnp.take(seg_c, src, axis=0).reshape(-1, W)
         tv = jnp.take(seg_v, src, axis=0).reshape(-1, W)
         key2, uval = _dedup_tile(tc, tv, n, run=S)
+        if _stage == 1:
+            s1_acc.append((jnp.sum(key2), jnp.sum(uval)))
+            continue
         sc, sw, truncated = _prune_select_lanes(key2, uval, n, S)
         rid = jnp.asarray(row_ids)
         new_cols = new_cols.at[rid].set(sc, mode="drop")
         new_vals = new_vals.at[rid].set(sw, mode="drop")
         nnz_out = nnz_out + jnp.sum(sc < n)
         trunc_rows = trunc_rows + jnp.sum(truncated)
+    if _stage == 1:
+        return tuple(s1_acc), (), {}
+    if _stage == 2:
+        return jnp.sum(new_cols), jnp.sum(new_vals), {}
 
+    if plan.huge_rows.size and _stage == 3:
+        c_h = _hub_dense_products(
+            a_dense_huge, mt_cols, mt_vals, n, plan.hub_precision,
+            krows=plan.hub_krows, khp=plan.hub_kh,
+        )
+        lanes = jax.lax.broadcasted_iota(INDEX_DTYPE, c_h.shape, 1)
+        key = jnp.where(c_h != 0, lanes, n)
+        sc, sw, truncated = _prune_select_lanes(key, c_h, n, S)
+        return jnp.sum(sc), jnp.sum(sw), {}
+    if _stage == 3:  # hub-free plan: nothing to measure
+        return jnp.zeros(()), jnp.zeros(()), {}
     if plan.huge_rows.size:
         # hub rows: dense MXU matmul against the densified iterate,
         # restricted to the union of iterate rows the hub references
