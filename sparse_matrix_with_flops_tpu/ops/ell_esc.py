@@ -103,6 +103,8 @@ class EllPlan:
     # dense contraction space restricted to the B rows hub rows touch
     hub_kmap: np.ndarray | None = None  # int32[b.rows]: global -> local, -1
     hub_kh: int = 0  # padded union size (multiple of 128)
+    # per-hub-row flat-region bound: min(row flops, ncols) rounded to 128
+    huge_caps: np.ndarray | None = None  # int32[H]
 
     __hash__ = object.__hash__
 
@@ -262,6 +264,13 @@ def plan_ell(
         else np.zeros(0, np.int32)
     )
     huge_flops = max(int(rf[huge].sum()), 1) if huge.size else 1
+    huge_caps = (
+        (-(-np.minimum(rf[huge], b.ncols) // 128) * 128)
+        .clip(min=128)
+        .astype(np.int32)
+        if huge.size
+        else None
+    )
 
     # hub B-densify layout: pick the column-slab width from an HBM budget,
     # then pre-partition B's entries by slab ON HOST (structure is static).
@@ -325,6 +334,7 @@ def plan_ell(
         hub_sptr=hub_sptr,
         hub_kmap=hub_kmap,
         hub_kh=hub_kh,
+        huge_caps=huge_caps,
         rows=m,
         ncols=b.ncols,
         out_cap=max(out_cap, 1),
@@ -394,20 +404,21 @@ def _flat_layout(plan: EllPlan):
         )
         base += row_ids.size * W
     huge_start = base
-    # huge rows go through the dense-MXU path: their compacted region is
-    # one full-width row each, 128-aligned (keeps every flat_base
-    # 16-aligned for the row-granular assembly repair, and matches the
-    # Pallas compaction's padded lane width)
-    ncp = -(-plan.ncols // 128) * 128
-    flat_base[plan.huge_rows] = huge_start + np.arange(
-        plan.huge_rows.size, dtype=np.int64
-    ) * ncp
-    base += plan.huge_rows.size * ncp
+    # huge rows go through the dense-MXU path; each row's compacted flat
+    # region is bounded by min(row flops, ncols) rounded to 128 (128-
+    # aligned flat_base keeps the row-granular assembly repair aligned).
+    # A full ncp-wide region per row was ~4.6x padding at s16
+    # (docs/ROUND3_NOTES.md §4e).
+    if plan.huge_rows.size:
+        caps = plan.huge_caps.astype(np.int64)
+        flat_base[plan.huge_rows] = huge_start + np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(caps)[:-1]]
+        )
+        base += int(caps.sum())
     lay = {
         "bin_starts": tuple(bin_starts),
         "flat_base": flat_base,
         "huge_start": huge_start,
-        "huge_stride": ncp,
         "flat_total": base,
     }
     object.__setattr__(plan, "_layout_cache", lay)
@@ -650,7 +661,7 @@ def _tiles_impl(
         # that cancel to exactly 0.0 are dropped for huge rows (raw-equal
         # semantics; the tile path keeps them).
         HC = 1024 if H > 1024 else H  # huge-row chunk
-        ncp = lay["huge_stride"]  # 128-aligned flat stride per hub row
+        ncp = -(-N // 128) * 128  # dense-row compaction width
         hlens = np.diff(plan.huge_rp)
         a_ds = []
         for h0 in range(0, H, HC):
@@ -739,8 +750,25 @@ def _tiles_impl(
             hcounts.append(
                 jnp.sum(key[:hc] < N, axis=1).astype(INDEX_DTYPE)
             )
-            cols_parts.append(key[:hc].reshape(-1))
-            vals_parts.append(vals[:hc].reshape(-1))
+            # pack the compacted rows to their per-row flat caps
+            # (min(flops, ncols) rounded to 128 — the full-ncp stride was
+            # ~4.6x padding at s16): one 128-granular row gather with
+            # host-planned window sources
+            caps_np = plan.huge_caps[pi * HC : pi * HC + hc].astype(np.int64)
+            nw_row = ncp // 128
+            src_win = np.concatenate(
+                [
+                    np.arange(cw // 128, dtype=np.int64) + i * nw_row
+                    for i, cw in enumerate(caps_np)
+                ]
+            )
+            swin = jnp.asarray(src_win)
+            cols_parts.append(
+                jnp.take(key[:hc].reshape(-1, 128), swin, axis=0).reshape(-1)
+            )
+            vals_parts.append(
+                jnp.take(vals[:hc].reshape(-1, 128), swin, axis=0).reshape(-1)
+            )
         if _stage == 4:
             return tuple(hcounts)
         if _stage == 5:  # profiling cutoff: + hub compaction (no concat)
