@@ -804,6 +804,10 @@ def _tiles_impl(
         # (the tunnel adds ~40ms launch latency per dispatch).  nnz(C) is
         # returned alongside: the huge-row dense path makes counts
         # value-dependent, so the cached cap must be re-validated.
+        # Materialization fence at the phase handoff: without it XLA
+        # fuses the tile-phase concats into the assembly's consumers
+        # (the window-source lesson, _assemble_body).
+        flat_c, flat_v = jax.lax.optimization_barrier((flat_c, flat_v))
         csr = _assemble_body(
             flat_c, flat_v, counts, flat_base, ncols, fused_out_cap,
             use_pallas,
