@@ -51,7 +51,10 @@ def main() -> int:
         sort_dedup_compact,
     )
 
-    for w, r in [(64, 512), (512, 64), (8192, 16), (16384, 16)]:
+    # W=32768 is a measured BOUNDARY, not a failure: the kernel's scoped
+    # VMEM hits 18.16M > 16M at the minimum 8 rows/step (2026-08-19) —
+    # the widest compilable sort class is 16384
+    for w, r in [(64, 512), (512, 64), (8192, 16), (16384, 16), (32768, 8)]:
         chunk = min(64, w)
         ncols = 16384
         # alternating sorted runs of length `chunk` (the presorted
@@ -61,10 +64,19 @@ def main() -> int:
         tc[:, 1::2, :] = tc[:, 1::2, ::-1]
         tc = tc.reshape(r, w)
         tv = rng.random((r, w)).astype(np.float32)
-        key, val = sort_dedup_compact(
-            jnp.asarray(tc), jnp.asarray(tv), ncols, presorted=chunk
-        )
-        key, val = np.asarray(key), np.asarray(val)
+        try:
+            key, val = sort_dedup_compact(
+                jnp.asarray(tc), jnp.asarray(tv), ncols, presorted=chunk
+            )
+            key, val = np.asarray(key), np.asarray(val)
+        except Exception as e:
+            if w >= 32768 and "vmem" in str(e).lower():
+                print(
+                    f"BOUNDARY sort_dedup_compact W={w}: scoped VMEM "
+                    "limit (expected; widest compilable class is 16384)"
+                )
+                continue
+            raise
         # reference: per-row sort + dedup-sum
         wsum = 0.0
         gsum = 0.0
