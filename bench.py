@@ -68,7 +68,15 @@ def main() -> None:
     oflops, _ = spgemm_upper_bounds(a, a)
     flops2 = 2.0 * oflops  # multiply+add accounting (only-somp.cc:36)
 
+    # host planning is timed and reported: the reference's timed multiply
+    # INCLUDES its symbolic/footprint/partition phases
+    # (only-somp.cc:30-37, static_omp_csr_kernel.cc:98-163), so a
+    # plan-excluded GFLOPS number alone would overstate the comparison
+    # (VERDICT r3 Weak #1).  ``value`` stays the amortized (plan-reused,
+    # R-MCL-style) kernel rate; ``gflops_cold`` charges the plan too.
+    t0 = time.monotonic()
     plan = plan_ell(a, a)
+    plan_ms = (time.monotonic() - t0) * 1e3
     dev_a = jax.device_put(a)
     # warm the exact path twice (caches + validates the nnz(C) bucket),
     # then slope-time the fused single-dispatch kernel: k reps inside one
@@ -122,11 +130,16 @@ def main() -> None:
     except Exception:
         vs_mt = None
 
+    dev = jax.devices()[0]
     rec = {
         "metric": "spgemm_rmat_s%d_gflops" % scale,
         "value": round(gflops, 3),
         "unit": "GFLOPS",
         "vs_baseline": round(vs_baseline, 3),
+        "plan_ms": round(plan_ms, 1),
+        "gflops_cold": round(flops2 / (plan_ms + ms) / 1e6, 3),
+        "platform": jax.default_backend(),
+        "device": getattr(dev, "device_kind", str(dev)),
     }
     if vs_mt is not None:
         rec["vs_baseline_mt"] = round(vs_mt, 3)

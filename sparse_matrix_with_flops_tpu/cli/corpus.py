@@ -39,7 +39,12 @@ def run_partitioned(
     group's fused kernel slope-timed separately (every group is its own
     dispatch — ops/partitioned.py's memory-bounding contract), total ms =
     sum of group slopes.  The host stitch is excluded, matching the
-    reference's kernel-only GFLOPS accounting (only-somp.cc:36-37)."""
+    reference's kernel-only GFLOPS accounting (only-somp.cc:36-37);
+    host planning is reported as ``plan_ms`` and charged in
+    ``gflops_cold`` because the reference times its symbolic/partition
+    phases inside the multiply (static_omp_csr_kernel.cc:98-163)."""
+    import time as _time
+
     import numpy as np
 
     from ..formats.csr import CSR
@@ -59,13 +64,17 @@ def run_partitioned(
     if max_w is not None:
         kw["max_w"] = max_w
     product_cap, _ = spgemm_upper_bounds(a, a)
+    t_plan0 = _time.monotonic()
     cuts = flops_prefix_partition(a, a, parts)
+    plan_ms = (_time.monotonic() - t_plan0) * 1e3
     db = jax.device_put(a)
     up = _use_pallas_default()
     total_ms, nnzc = 0.0, 0
     for r0, r1 in zip(cuts[:-1], cuts[1:]):
         a_g = csr_row_slice(a, r0, r1)
+        t0 = _time.monotonic()
         plan = plan_ell(a_g, a, **kw)
+        plan_ms += (_time.monotonic() - t0) * 1e3
         dg = jax.device_put(a_g)
         spgemm_ell(dg, db, plan)  # two-phase: sizes the nnz(C) bucket
         out = spgemm_ell(dg, db, plan)  # fused warm (validates bucket)
@@ -89,6 +98,11 @@ def run_partitioned(
         "oflops": product_cap,
         "ms": round(total_ms, 3),
         "gflops": round(2.0 * product_cap / total_ms / 1e6, 4),
+        "plan_ms": round(plan_ms, 1),
+        "gflops_cold": round(
+            2.0 * product_cap / (plan_ms + total_ms) / 1e6, 4
+        ),
+        "platform": jax.default_backend(),
         "timing": "slope-sum-of-groups",
     }
     if chunk is not None:
@@ -103,6 +117,8 @@ def run_partitioned(
 
 
 def run_one(name, a, kernel: str, check: bool = False):
+    import time as _time
+
     from ..formats.csr import CSR
     from ..ops.binned import plan_bins, spgemm_binned
     from ..ops.ell_esc import plan_ell, spgemm_ell
@@ -111,6 +127,8 @@ def run_one(name, a, kernel: str, check: bool = False):
 
     product_cap, out_cap = spgemm_upper_bounds(a, a)
     da = jax.device_put(a)
+    plan_ms = None
+    t_plan0 = _time.monotonic()
     if kernel == "esc":
         fn = lambda x: spgemm(x, x, product_cap, out_cap)
     elif kernel == "binned":
@@ -125,6 +143,7 @@ def run_one(name, a, kernel: str, check: bool = False):
         from ..ops.ell_esc import _tiles_impl, _use_pallas_default
 
         plan = plan_ell(a, a)
+        plan_ms = (_time.monotonic() - t_plan0) * 1e3
         # warm twice: the second exact call caches + validates the
         # nnz(C) bucket; the timed op is then the trace-safe fused
         # single-dispatch kernel with that bucket
@@ -138,6 +157,9 @@ def run_one(name, a, kernel: str, check: bool = False):
                 x, x, plan, plan.chunk, up, fused_out_cap=cap
             )
             return csr
+
+    if plan_ms is None:
+        plan_ms = (_time.monotonic() - t_plan0) * 1e3
 
     def step(x):
         a2 = CSR(da.row_ptr, da.col_ind, da.values + x, da.ncols)
@@ -153,6 +175,9 @@ def run_one(name, a, kernel: str, check: bool = False):
         "oflops": product_cap,
         "ms": round(ms, 3),
         "gflops": round(2.0 * product_cap / ms / 1e6, 4),
+        "plan_ms": round(plan_ms, 1),
+        "gflops_cold": round(2.0 * product_cap / (plan_ms + ms) / 1e6, 4),
+        "platform": jax.default_backend(),
         "timing": "slope",
     }
     if check:
@@ -190,6 +215,14 @@ def main(argv=None) -> int:
         "--check",
         action="store_true",
         help="cross-check exact nnz(C) against scipy per matrix",
+    )
+    p.add_argument(
+        "--mt",
+        action="store_true",
+        help="also run the 4-thread C++ Gustavson baseline "
+        "(native/src/spgemm_baseline.cc — the reference's flagship "
+        "kernel class, symbolic phase included in its timing) and "
+        "record vs_baseline_mt per matrix",
     )
     p.add_argument(
         "--parts",
@@ -239,6 +272,23 @@ def main(argv=None) -> int:
             )
         else:
             rec = run_one(name, a, args.kernel, check=args.check)
+        if args.mt:
+            import numpy as np
+
+            from ..io.native import spgemm_mt_baseline
+            from ..utils.nphost import csr_host
+
+            rp, ci = csr_host(a)
+            mt = spgemm_mt_baseline(rp, ci, np.asarray(a.values), a.ncols)
+            if mt is not None:
+                # ratio > 1 means the TPU kernel beats the 4-thread CPU;
+                # _cold charges the TPU's host planning too (the CPU
+                # baseline always includes its symbolic phase)
+                rec["mt_baseline_ms"] = round(mt[0], 3)
+                rec["vs_baseline_mt"] = round(mt[0] / rec["ms"], 3)
+                rec["vs_baseline_mt_cold"] = round(
+                    mt[0] / (rec["ms"] + rec.get("plan_ms", 0.0)), 3
+                )
         line = json.dumps(rec)
         print(line, flush=True)
         if sink:

@@ -99,12 +99,19 @@ class CSR:
         pv = np.zeros(cap, dtype=np.float32)
         pc[:nnz] = col_ind[:nnz]
         pv[:nnz] = values[:nnz]
-        return CSR(
+        out = CSR(
             row_ptr=jnp.asarray(row_ptr, dtype=INDEX_DTYPE),
             col_ind=jnp.asarray(pc, dtype=INDEX_DTYPE),
             values=jnp.asarray(pv, dtype=QVALUE_DTYPE),
             ncols=int(ncols),
         )
+        # the host arrays are authoritative here — seed the planner-side
+        # host-view cache (utils/nphost.csr_host) so planning never pays
+        # a device->host fetch for host-constructed matrices
+        object.__setattr__(
+            out, "_host_rp_ci", (row_ptr.astype(np.int64), pc)
+        )
+        return out
 
     @staticmethod
     def from_dense(dense) -> "CSR":

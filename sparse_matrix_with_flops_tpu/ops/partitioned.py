@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..config import INDEX_DTYPE, QVALUE_DTYPE
 from ..formats.csr import CSR
+from ..utils.nphost import csr_host, segment_sums
 from .ell_esc import plan_ell, spgemm_ell
 
 
@@ -65,14 +66,13 @@ def flops_prefix_partition(a: CSR, b: CSR, parts: int) -> list[int]:
     scost partition law, cpu_csr_kernel.cc:317-334, applied to prefix
     sums instead of a dealt permutation — groups must stay contiguous so
     the stitch is a concatenation)."""
-    rp_a = np.asarray(a.row_ptr)
+    rp_a, ci_a = csr_host(a)
     nnz = int(rp_a[-1])
-    ci = np.asarray(a.col_ind)[:nnz]
-    bcnt = np.diff(np.asarray(b.row_ptr))
-    ent = bcnt[np.clip(ci, 0, b.rows - 1)].astype(np.int64)
-    row_fl = np.zeros(a.rows + 1, dtype=np.int64)
-    np.add.at(row_fl, np.searchsorted(rp_a, np.arange(nnz), side="right"), ent)
-    pref = np.cumsum(row_fl)  # pref[r+1] = flops of rows [0, r]
+    ci = ci_a[:nnz]
+    bcnt = np.diff(csr_host(b)[0])
+    ent = bcnt[np.clip(ci, 0, b.rows - 1)]
+    row_fl = segment_sums(ent, rp_a)
+    pref = np.concatenate([[0], np.cumsum(row_fl)])  # pref[r+1] = flops of rows [0, r]
     total = pref[-1]
     cuts = [0]
     for g in range(1, parts):
