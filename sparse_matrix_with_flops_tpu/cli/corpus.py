@@ -70,6 +70,7 @@ def run_partitioned(
     db = jax.device_put(a)
     up = _use_pallas_default()
     total_ms, nnzc = 0.0, 0
+    group_ms = []
     for r0, r1 in zip(cuts[:-1], cuts[1:]):
         a_g = csr_row_slice(a, r0, r1)
         t0 = _time.monotonic()
@@ -88,7 +89,9 @@ def run_partitioned(
             )
             return (csr.row_ptr, csr.col_ind, csr.values, n)
 
-        total_ms += slope_bench(step)
+        g_ms = slope_bench(step)
+        group_ms.append(round(g_ms, 3))
+        total_ms += g_ms
     rec = {
         "matrix": name,
         "kernel": "ell",
@@ -103,6 +106,7 @@ def run_partitioned(
             2.0 * product_cap / (plan_ms + total_ms) / 1e6, 4
         ),
         "platform": jax.default_backend(),
+        "group_ms": group_ms,
         "timing": "slope-sum-of-groups",
     }
     if chunk is not None:

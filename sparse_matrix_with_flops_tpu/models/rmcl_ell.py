@@ -129,22 +129,37 @@ def mt_to_ell(mt: CSR, S: int):
     UNIQUE — is established here and preserved by every step
     (_prune_select_lanes re-sorts and dedups); the hub densify's
     unique-target scatter-SET relies on it."""
-    rp = np.asarray(mt.row_ptr, dtype=np.int64)
+    from ..utils.nphost import csr_host, repeat_idx
+
+    rp, c_all = csr_host(mt)
     n = mt.rows
+    nnz = int(rp[-1])
+    c = c_all[:nnz].astype(np.int64)
+    v = np.asarray(mt.values)[:nnz].astype(np.float64)
+    # global (row, col) sort -> per-row unique prefix sums, all bulk ops
+    # (the old per-row np.unique loop was minutes of Python at 1M rows,
+    # VERDICT r3 Weak #6)
+    erow = repeat_idx(np.diff(rp), nnz).astype(np.int64)
+    order = np.argsort(erow * (mt.ncols + 1) + c, kind="stable")
+    re, ce, ve = erow[order], c[order], v[order]
+    first = np.ones(nnz, dtype=bool)
+    first[1:] = (re[1:] != re[:-1]) | (ce[1:] != ce[:-1])
+    seg = np.cumsum(first) - 1
+    nseg = int(seg[-1]) + 1 if nnz else 0
+    uv = np.zeros(nseg, np.float64)
+    np.add.at(uv, seg, ve)
+    ur = re[first]
+    uc = ce[first]
+    # rank of each unique col within its row (uniques are row-contiguous)
+    row_start = np.zeros(n + 1, np.int64)
+    np.add.at(row_start, ur + 1, 1)
+    np.cumsum(row_start, out=row_start)
+    rank = np.arange(nseg, dtype=np.int64) - row_start[ur]
+    keep = rank < S
     cols = np.full((n, S), mt.ncols, np.int32)
     vals = np.zeros((n, S), np.float32)
-    c = np.asarray(mt.col_ind)
-    v = np.asarray(mt.values)
-    for i in range(n):
-        ci = c[rp[i] : rp[i + 1]]
-        vi = v[rp[i] : rp[i + 1]]
-        if ci.size:
-            uc, inv = np.unique(ci, return_inverse=True)
-            uv = np.zeros(uc.size, np.float32)
-            np.add.at(uv, inv, vi)
-            k = min(uc.size, S)
-            cols[i, :k] = uc[:k]
-            vals[i, :k] = uv[:k]
+    cols[ur[keep], rank[keep]] = uc[keep].astype(np.int32)
+    vals[ur[keep], rank[keep]] = uv[keep].astype(np.float32)
     s = vals.sum(axis=1, keepdims=True)
     vals = np.where(s > 0, vals / np.maximum(s, 1e-30), vals)
     return jnp.asarray(cols), jnp.asarray(vals)

@@ -69,7 +69,14 @@ _snap_chunks = snap_chunks_arr
 
 
 CHUNK = 64  # chunk width: row-gather granularity (tuned: 64 beats 128 by ~17%)
-MAX_W = 8192  # largest row tile; beyond -> huge fallback
+# Largest row tile; beyond -> dense-MXU hub fallback.  Raised 8192 ->
+# 32768 in round 4: at s17 the hub carried 78% of all flops at ~0.1%
+# MXU utilization (docs/ROUND3_NOTES.md §4) — only true monsters should
+# go dense.  Row tiles wider than PALLAS_MAX_SORT_W sort on the XLA
+# path: the Pallas sort's scoped VMEM exceeds the 16M budget at W=32768
+# even at the minimum 8 rows/step (tools/tpu_smoke.py boundary log).
+MAX_W = 32768
+PALLAS_MAX_SORT_W = 16384
 AUTO_CHUNKS = (16, 32, 64, 128)  # auto-select candidate lattice
 
 
@@ -610,7 +617,7 @@ def _tiles_impl(
             cols_parts.append(tc.reshape(-1))
             vals_parts.append(tv.reshape(-1))
             continue
-        if use_pallas:
+        if use_pallas and W <= PALLAS_MAX_SORT_W:
             from .pallas_sort import sort_dedup_compact
 
             # every aligned chunk is a column-sorted B-row slice (sentinel

@@ -131,3 +131,45 @@ def print_stats(hist, title: str = "stats") -> None:
         if cnt:
             print(f"  [{lo:>8} .. {hi:>8}): {cnt}")
         lo = hi
+
+
+def footprint_row_costs(
+    a: CSR, b: CSR, chunk: int | None = None
+) -> np.ndarray:
+    """Per-row partition cost with memory-footprint terms (host, int64).
+
+    The reference's flagship partitions on *footprints*, not raw flops:
+    ``(flops + cnnz + 32 + annz) >> 1`` per row
+    (static_omp_csr_kernel.cc:28-62, footPrintsCrowiCount) — an
+    output-write term and an A-read term on top of the multiply count.
+    The TPU pipeline's real cost unit is the padded tile descriptor
+    (docs/ROOFLINE.md: kernel time ~ padded slots / chunk with bytes
+    nearly free), so this modernizes each term:
+
+    * flops        -> padded descriptor slots (snap-to-lattice per entry)
+    * cnnz (exact) -> min(flops, ncols) upper bound (the flat-cap law)
+    * annz, +32    -> unchanged
+
+    On cant-class (flops/cnnz ≈ 31) vs power-law (≈ 1.8) the flops-only
+    estimate mis-ranks per-row cost by up to ~17x (VERDICT r3 #2).
+    """
+    from ..utils.nphost import csr_host, segment_sums, snap_chunks_arr
+
+    rp, ci_all = csr_host(a)
+    nnz = int(rp[-1])
+    ci = ci_all[:nnz]
+    bcnt = np.diff(csr_host(b)[0])
+    elen = bcnt[np.clip(ci, 0, b.rows - 1)]
+    if chunk is None:
+        from .ell_esc import MAX_W, auto_chunk
+
+        chunk = auto_chunk(elen, rp, b.ncols, MAX_W)
+    maxlen = int(elen.max()) if elen.size else 0
+    lens = np.arange(maxlen + 1, dtype=np.int64)
+    wtbl = snap_chunks_arr(-(-lens // chunk)) * chunk
+    wtbl[0] = 0
+    pad_slots = segment_sums(wtbl[elen.astype(np.int32, copy=False)], rp)
+    row_fl = segment_sums(elen, rp)
+    annz = np.diff(rp)
+    cnnz_est = np.minimum(row_fl, int(b.ncols))
+    return pad_slots + cnnz_est + annz + 32

@@ -62,17 +62,16 @@ def csr_vstack(blocks: list[CSR], ncols: int) -> CSR:
 
 def flops_prefix_partition(a: CSR, b: CSR, parts: int) -> list[int]:
     """Row cut points [0, r_1, ..., rows] splitting A into ``parts``
-    contiguous groups of near-equal upper-bound flops (the reference's
-    scost partition law, cpu_csr_kernel.cc:317-334, applied to prefix
-    sums instead of a dealt permutation — groups must stay contiguous so
-    the stitch is a concatenation)."""
-    rp_a, ci_a = csr_host(a)
-    nnz = int(rp_a[-1])
-    ci = ci_a[:nnz]
-    bcnt = np.diff(csr_host(b)[0])
-    ent = bcnt[np.clip(ci, 0, b.rows - 1)]
-    row_fl = segment_sums(ent, rp_a)
-    pref = np.concatenate([[0], np.cumsum(row_fl)])  # pref[r+1] = flops of rows [0, r]
+    contiguous groups of near-equal *footprint* cost (the reference's
+    footPrintsCrowiCount partition, static_omp_csr_kernel.cc:28-62 +
+    scost law cpu_csr_kernel.cc:317-334, applied to prefix sums instead
+    of a dealt permutation — groups must stay contiguous so the stitch
+    is a concatenation).  Footprints = padded descriptor slots + output
+    writes + A reads, not raw flops: see ops.flops.footprint_row_costs."""
+    from .flops import footprint_row_costs
+
+    row_cost = footprint_row_costs(a, b)
+    pref = np.concatenate([[0], np.cumsum(row_cost)])  # pref[r+1] = cost of rows [0, r]
     total = pref[-1]
     cuts = [0]
     for g in range(1, parts):

@@ -198,6 +198,14 @@ def sharded_next_flops(mesh, mgt: ShardedCSR, mt: ShardedCSR, axis=ROW_AXIS):
         rf = jnp.zeros((m + 1,), INDEX_DTYPE).at[
             jnp.where(valid, erow, m)
         ].add(ef, mode="promise_in_bounds")[:m]
+        # footprint terms (footPrintsCrowiCount,
+        # static_omp_csr_kernel.cc:28-62): output-write upper bound +
+        # A-row reads on top of the multiply count — the stream-ESC
+        # shard kernel's real traffic, and what repartitioning must
+        # balance (raw flops mis-rank banded vs power-law rows ~17x)
+        n_glob = cnt_g.shape[0]
+        annz = (a_rp0[1:] - a_rp0[:-1]).astype(INDEX_DTYPE)
+        rf = rf + jnp.minimum(rf, n_glob) + annz + 32
         tot = jnp.sum(rf)
         tots = jax.lax.all_gather(tot, axis).astype(jnp.float32)
         spread = (jnp.max(tots) - jnp.min(tots)) / jnp.maximum(

