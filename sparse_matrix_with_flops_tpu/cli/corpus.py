@@ -143,6 +143,11 @@ def run_one(name, a, kernel: str, check: bool = False):
 
         plan = plan_ell(a, a)
         fn = lambda x: spgemm_ell_tiled(x, x, plan)
+    elif kernel == "block":
+        from ..ops.block_spgemm import block_spgemm_tiled, plan_block
+
+        plan = plan_block(a, a)
+        fn = lambda x: block_spgemm_tiled(x, x, plan).to_csr()
     else:
         from ..ops.ell_esc import _tiles_impl, _use_pallas_default
 
@@ -214,7 +219,12 @@ def main(argv=None) -> int:
         "(62451 rows, ~4.06M nnz, ~266M Oflops — the anchors of "
         "tools/res.txt)",
     )
-    p.add_argument("--kernel", default="ell", choices=["esc", "binned", "ell", "ell-tiled"])
+    p.add_argument(
+        "--kernel",
+        default="ell",
+        choices=["esc", "binned", "ell", "ell-tiled", "block"],
+        help="block = dense-block MXU path (band/FEM-class matrices)",
+    )
     p.add_argument(
         "--check",
         action="store_true",

@@ -69,14 +69,20 @@ _snap_chunks = snap_chunks_arr
 
 
 CHUNK = 64  # chunk width: row-gather granularity (tuned: 64 beats 128 by ~17%)
-# Largest row tile; beyond -> dense-MXU hub fallback.  Raised 8192 ->
-# 32768 in round 4: at s17 the hub carried 78% of all flops at ~0.1%
-# MXU utilization (docs/ROUND3_NOTES.md §4) — only true monsters should
-# go dense.  Row tiles wider than PALLAS_MAX_SORT_W sort on the XLA
-# path: the Pallas sort's scoped VMEM exceeds the 16M budget at W=32768
-# even at the minimum 8 rows/step (tools/tpu_smoke.py boundary log).
-MAX_W = 32768
-PALLAS_MAX_SORT_W = 16384
+# Largest row tile; beyond -> dense-MXU hub fallback.  The W=16384 and
+# W=32768 classes COMPILE and run exactly on-chip (round-4: W=32768
+# needs the raised scoped-VMEM limit in pallas_sort.py — 18.2 MB vs
+# Mosaic's 16 MB default, v5e has 128 MB physical), but they are not
+# the default: measured on-chip, sdc at W=32768 runs ~300 ns/lane (vs
+# ~1-4 ns at production widths) and a bitonic row costs W·log²W lanes
+# while the dense hub's per-row cost is width-independent — past ~8K
+# the hub wins, so the default routing keeps it (round-4 probe logs,
+# docs/ROOFLINE.md).  Callers studying the crossover pass max_w
+# explicitly.  Anything wider than PALLAS_MAX_SORT_W would fall back
+# to the XLA sort, which is CPU-only in practice (lax.sort +
+# associative_scan at these widths never finished compiling on-chip).
+MAX_W = 8192
+PALLAS_MAX_SORT_W = 32768
 AUTO_CHUNKS = (16, 32, 64, 128)  # auto-select candidate lattice
 
 
@@ -105,7 +111,13 @@ def auto_chunk(
     moved and a shallower bitonic start).
     """
     ncp = -(-int(ncols) // 128) * 128
-    hub_desc = 4.0 * ncp / 128.0
+    hub_desc = 4.0 * ncp / 128.0  # densify/compact traffic per hub row
+    # hub matmul term: the dense path contracts [hub, kh] x [kh, ncp]
+    # (kh = union of B rows the hub touches), so per-row cost also
+    # carries 2*kh*ncp flops; 1 descriptor ~ 180k MXU flops (110M
+    # descriptors/s vs ~20 TF/s f32).  Without this term banded
+    # matrices scored all-hub as "cheap" — the round-2 33 GB OOM shape.
+    mxu_flops_per_desc = 180_000.0
     best_c, best_j = candidates[0], float("inf")
     scores = {}
     # per-entry padded widths via a value table over the (small) set of
@@ -123,7 +135,25 @@ def auto_chunk(
         nonempty = prow > 0
         hub = nonempty & (wr_p2 > max_w)
         binned = nonempty & ~hub
-        j = float(wr_p2[binned].sum()) / c + hub_desc * int(hub.sum())
+        wb = wr_p2[binned]
+        # descriptor term (gather) + bitonic lane-op term: the presorted
+        # bitonic runs merge levels log2(2c)+1 .. log2(W), level k costs
+        # ~k passes over W lanes, so lane-ops ~ W*(L^2 - L0^2)/2 with
+        # L = log2(W), L0 = log2(2c).  The relative weight (1 lane-op ~
+        # descriptor/585) is calibrated from two measured cant-class TPU
+        # points: chunk=32/W=8192 -> 8.1 us/row, chunk=128/W=16384 ->
+        # 15.2 us/row (benchmarks/results_r3.jsonl, results_r4.jsonl) —
+        # without this term the model mispicked 128 and lost 1.9x.
+        lw = np.log2(np.maximum(wb, 1)).astype(np.float64)
+        l0 = float(np.log2(2 * c))
+        lane_ops = wb * np.maximum(lw * lw - l0 * l0, 0.0) / 2.0
+        kh_est = min(float(ncols), float(prow[hub].sum()))
+        hub_row_cost = hub_desc + 2.0 * kh_est * ncp / mxu_flops_per_desc
+        j = (
+            float(wb.sum()) / c
+            + float(lane_ops.sum()) / 585.0
+            + hub_row_cost * int(hub.sum())
+        )
         scores[c] = j
         if j < best_j:
             best_c, best_j = c, j

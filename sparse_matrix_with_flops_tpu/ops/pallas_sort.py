@@ -194,6 +194,15 @@ def sort_dedup_compact(
     kern = partial(_sdc_kernel, W=w, ncols=ncols, presorted=presorted)
     grid = (r // rows_per_step,)
     blk = lambda g: (g, 0)
+    # W=32768 needs ~18.2 MB of scoped VMEM at the minimum 8 rows/step —
+    # past Mosaic's conservative 16 MB default but well inside the v5e's
+    # 128 MB physical VMEM; raise the limit only for the wide classes
+    # (the XLA-sort fallback is NOT an alternative on TPU: lax.sort +
+    # associative_scan at these widths never finished compiling on-chip,
+    # round-4 probe logs)
+    params = None
+    if w > 16384 and not interpret:
+        params = pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -210,6 +219,7 @@ def sort_dedup_compact(
             jax.ShapeDtypeStruct((r, w), jnp.float32),
         ),
         interpret=interpret,
+        **({"compiler_params": params} if params else {}),
     )(tc, tv)
 
 

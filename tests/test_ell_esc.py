@@ -413,12 +413,10 @@ def test_auto_chunk_power_law_stays_fast():
 
 
 def test_wide_bin_past_pallas_boundary(rng):
-    """Round-4 tile classes W=16384/32768: rows whose padded width lands
-    past PALLAS_MAX_SORT_W must sort on the XLA path (not go dense-hub,
-    which at s17 wasted 78% of flops — VERDICT r3 Weak #2)."""
-    from sparse_matrix_with_flops_tpu.ops.ell_esc import MAX_W
-
-    assert MAX_W == 32768
+    """Round-4 tile classes W=16384/32768 exist and are exact when a
+    caller opts in with max_w=32768 (on-chip they compile with the
+    raised scoped-VMEM limit; default routing keeps such rows on the
+    hub because wide bitonics lose to it — see MAX_W's comment)."""
     n = 320
     # one hot A row with ~300 entries; B rows ~60 entries wide ->
     # padded row width ~300*64 = 19200 -> pow2 class 32768
@@ -432,7 +430,7 @@ def test_wide_bin_past_pallas_boundary(rng):
     a = CSR.from_arrays(
         rp_a, hot_cols, np.ones(300, np.float32), ncols=n
     )
-    plan = plan_ell(a, b, chunk=64)
+    plan = plan_ell(a, b, chunk=64, max_w=32768)
     ws = [w for (w, _, _, _) in plan.bins]
     assert max(ws) > 16384, ws  # the wide class exists
     assert plan.huge_rows.size == 0  # and it did NOT go hub
