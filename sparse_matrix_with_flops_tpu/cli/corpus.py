@@ -144,10 +144,21 @@ def run_one(name, a, kernel: str, check: bool = False):
         plan = plan_ell(a, a)
         fn = lambda x: spgemm_ell_tiled(x, x, plan)
     elif kernel == "block":
+        import numpy as np
+
         from ..ops.block_spgemm import block_spgemm_tiled, plan_block
 
         plan = plan_block(a, a)
-        fn = lambda x: block_spgemm_tiled(x, x, plan).to_csr()
+        plan_ms = (_time.monotonic() - t_plan0) * 1e3
+        # size the exact-nnz output bucket once (the two-phase symbolic
+        # role); the timed step then assembles into that fixed bucket,
+        # matching the ELL path's accounting
+        cap = int(
+            np.asarray(
+                jax.jit(lambda x: block_spgemm_tiled(x, x, plan).nnz)(da)
+            )
+        )
+        fn = lambda x: block_spgemm_tiled(x, x, plan).to_csr(out_cap=cap)
     else:
         from ..ops.ell_esc import _tiles_impl, _use_pallas_default
 
@@ -194,7 +205,7 @@ def run_one(name, a, kernel: str, check: bool = False):
         import numpy as np
 
         want_nnz = _scipy_nnzc(a)
-        out = fn(da)
+        out = jax.jit(fn)(da)
         got_nnz = int(np.asarray(out.row_ptr)[-1])
         rec["nnzc"] = got_nnz
         rec["nnzc_scipy"] = want_nnz
