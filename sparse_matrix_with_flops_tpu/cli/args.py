@@ -35,9 +35,20 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--stats", "-s", action="store_true", help="per-iteration stats")
     p.add_argument("--calcChange", "-c", action="store_true")
     p.add_argument("--shared", "-e", default="None", help="no-op (GPU cache flag)")
-    p.add_argument("--ptile", type=int, default=0)
-    p.add_argument("--br", type=int, default=8, help="block rows (TPU sublane)")
-    p.add_argument("--bc", type=int, default=128, help="block cols (TPU lane)")
+    p.add_argument(
+        "--ptile", type=int, default=0,
+        help="accepted for parity (process_args.h); consumed by nothing",
+    )
+    p.add_argument(
+        "--br", type=int, default=8,
+        help="block rows — accepted for parity; BCSR callers size blocks "
+        "directly (TPU sublane default 8)",
+    )
+    p.add_argument(
+        "--bc", type=int, default=128,
+        help="block cols — accepted for parity; BCSR callers size blocks "
+        "directly (TPU lane default 128)",
+    )
     return p
 
 

@@ -40,7 +40,3 @@ DEFAULT_STRIDE = 512
 # {1: f==0, 2: f==1, 3: 2..4, 4: 5..16, 5: 17..64, 6: 65..512, 7: >512}.
 FLOPS_BIN_BOUNDS = (0, 1, 4, 16, 64, 512)
 
-# ESC segment size used by the reference stream pipeline
-# (mindex2-cuda/kernel.cu:46); we reuse it as the default products-per-grid
-# step granularity for the chunked ESC pipeline.
-FLOPS_SORT_SEGMENT = 1024

@@ -83,6 +83,96 @@ def ring_all_gather(x, axis: str, d: int, interpret: bool = False):
     )(x)
 
 
+def _ring_mm_kernel(
+    a_ref, b_ref, out_ref, bufs, send_sem, recv_sem, *, d, lr, axis
+):
+    """Fused ring all-gather + matmul: at step k, block k's DMA to the
+    neighbour is IN FLIGHT while this chip contracts block k — the
+    compute/comm overlap the ring exists for.  ``a_ref`` arrives with
+    its column blocks already in ROTATION order for this chip (block k =
+    owner (me-k) mod d, pre-rotated by the caller), so every slice below
+    is static; the rotating buffer keeps the write-once-per-region
+    discipline of :func:`_ring_ag_kernel` (no WAR hazard, one DMA
+    semaphore pair per step)."""
+    me = jax.lax.axis_index(axis)
+    dst = (me + 1) % d
+
+    def rdma(k):
+        return pltpu.make_async_remote_copy(
+            src_ref=bufs.at[pl.ds(k * lr, lr)],
+            dst_ref=bufs.at[pl.ds((k + 1) * lr, lr)],
+            send_sem=send_sem.at[k],
+            recv_sem=recv_sem.at[k],
+            device_id=dst,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    bufs[pl.ds(0, lr)] = b_ref[...]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for k in range(d):
+        if k < d - 1:
+            rdma(k).start()  # block k flies while we consume it
+        acc = acc + jnp.dot(
+            a_ref[:, k * lr : (k + 1) * lr],
+            bufs[pl.ds(k * lr, lr)],
+            preferred_element_type=jnp.float32,
+        )
+        if k < d - 1:
+            rdma(k).wait()  # block k+1 resident for the next step
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("axis", "d", "interpret"))
+def ring_matmul(a_loc, b_loc, axis: str, d: int, interpret: bool = False):
+    """C_loc = A_loc · B_full with B row-sharded over ``axis``, computed
+    by a SINGLE fused Pallas kernel that rotates B blocks around the
+    ring and contracts each resident block while the next hop's DMA is
+    in flight (call under shard_map).
+
+    ``a_loc``: [M, d·lr] this chip's A rows, columns in OWNER-major
+    order (column block j multiplies shard j's B block).
+    ``b_loc``: [lr, N] this chip's B block.  Returns [M, N].
+
+    This is the distributed-SpGEMM hub contraction shape
+    (parallel/rmcl_ell._segments_ring: dense hub operands × rotating
+    iterate blocks) as one kernel instead of an XLA matmul+ppermute
+    chain; operands must fit VMEM (M·d·lr + d·lr·N + M·N words), i.e.
+    tile M/N outside for production sizes.  SURVEY §2.6 last row names
+    this overlap as the ring's purpose; VERDICT r3 #9 asked for it.
+    """
+    lr = b_loc.shape[0]
+    if a_loc.shape[1] != d * lr:
+        raise ValueError(
+            f"a_loc has {a_loc.shape[1]} cols, want d*lr = {d * lr}"
+        )
+    me = jax.lax.axis_index(axis)
+    # owner-major -> rotation order: kernel block k needs owner (me-k)%d
+    owner_of_k = (me - jnp.arange(d, dtype=jnp.int32)) % d
+    a_rot = jnp.take(
+        a_loc.reshape(a_loc.shape[0], d, lr), owner_of_k, axis=1
+    ).reshape(a_loc.shape)
+    kern = partial(_ring_mm_kernel, d=d, lr=lr, axis=axis)
+    nsem = max(d - 1, 1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (a_loc.shape[0], b_loc.shape[1]), b_loc.dtype
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((d * lr, b_loc.shape[1]), b_loc.dtype),
+            pltpu.SemaphoreType.DMA((nsem,)),
+            pltpu.SemaphoreType.DMA((nsem,)),
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=0),
+        interpret=interpret,
+    )(a_rot, b_loc)
+
+
 def unrotate(gathered, axis: str, d: int):
     """Reorder a ring_all_gather result from rotation order (block k =
     shard (me-k) mod d) to owner-major order (block j = shard j)."""

@@ -164,6 +164,36 @@ def main() -> int:
         1e-6,
     )
 
+    # --- ring_matmul: fused RDMA ring + MXU contraction -----------------
+    # One physical chip, so d=1: compiles and runs the kernel BODY on
+    # Mosaic (VMEM rotation scratch, DMA semaphore decls, in-kernel MXU
+    # dot, axis_index) — the multi-hop RDMA schedule itself is pinned
+    # against lax.all_gather on the virtual mesh
+    # (tests/test_pallas_ring.py::test_ring_matmul_fused...).
+    from jax import shard_map
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from sparse_matrix_with_flops_tpu.parallel.pallas_ring import ring_matmul
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("x",))
+    m_r, lr_r, s_r = 256, 128, 256
+    a_r = rng.normal(size=(m_r, lr_r)).astype(np.float32)
+    b_r = rng.normal(size=(lr_r, s_r)).astype(np.float32)
+    got = shard_map(
+        lambda a_, b_: ring_matmul(a_, b_, "x", 1),
+        mesh=mesh1,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(jnp.asarray(a_r), jnp.asarray(b_r))
+    ok &= _check(
+        "ring_matmul d=1 256x128x256 (fused-ring kernel body on-chip)",
+        got,
+        a_r @ b_r,
+        5e-3,
+    )
+
     print(
         f"tpu_smoke: {'ALL PASS' if ok else 'FAILURES'} "
         f"in {time.monotonic() - t0:.0f}s on {jax.default_backend()}"
