@@ -133,6 +133,14 @@ def run_one(name, a, kernel: str, check: bool = False):
     da = jax.device_put(a)
     plan_ms = None
     t_plan0 = _time.monotonic()
+    routed = None
+    if kernel == "auto":
+        from ..ops.dispatch import BLOCK_FILL_THRESHOLD
+        from ..ops.block_spgemm import block_fill_estimate
+
+        fill = block_fill_estimate(a, a)
+        kernel = "block" if fill >= BLOCK_FILL_THRESHOLD else "ell"
+        routed = {"fill": round(fill, 4), "kernel": kernel}
     if kernel == "esc":
         fn = lambda x: spgemm(x, x, product_cap, out_cap)
     elif kernel == "binned":
@@ -200,6 +208,8 @@ def run_one(name, a, kernel: str, check: bool = False):
         "platform": jax.default_backend(),
         "timing": "slope",
     }
+    if routed is not None:
+        rec["routed"] = routed
     if check:
         # exact nnz(C) cross-check vs scipy's Gustavson (host oracle)
         import numpy as np
@@ -233,8 +243,10 @@ def main(argv=None) -> int:
     p.add_argument(
         "--kernel",
         default="ell",
-        choices=["esc", "binned", "ell", "ell-tiled", "block"],
-        help="block = dense-block MXU path (band/FEM-class matrices)",
+        choices=["esc", "binned", "ell", "ell-tiled", "block", "auto"],
+        help="block = dense-block MXU path (band/FEM-class matrices); "
+        "auto = route per matrix by measured block fill "
+        "(ops.dispatch.spgemm_auto's rule) and record the decision",
     )
     p.add_argument(
         "--check",

@@ -834,10 +834,13 @@ def _tiles_impl(
             from .pallas_sort import compact_nonzero_rows
 
             # scoped-VMEM budget: the kernel's log-shift temps need
-            # ~13 MB at width 32768 and ~26 MB at 65536 — past the 16 MB
-            # scoped limit (measured compile OOM at s16, 2026-08-19), so
-            # wider rows take the XLA lane-sort fallback.
-            if ncp <= 32768:
+            # ~13 MB at width 32768 and ~26 MB at 65536 — past Mosaic's
+            # 16 MB default, so compact_nonzero_rows raises its scoped
+            # limit for wide rows (96 MB vs 128 MB physical; the XLA
+            # lane-sort fallback it replaces measured 550 ms of the
+            # 786 ms s16 kernel, tools/profile_fused.py round 4).  Rows
+            # wider than 65536 (s17+) still take the fallback.
+            if ncp <= 65536:
                 key, vals = compact_nonzero_rows(
                     c_d, N, interpret=jax.default_backend() != "tpu"
                 )
