@@ -130,6 +130,66 @@ def main() -> None:
     except Exception:
         vs_mt = None
 
+    # second headline: the reference's own FEM-band anchor (cant.mtx
+    # class, tools/res.txt) on the dense-block MXU path — the workload
+    # where the engine choice matters most (round-4: 11.2 GFLOPS vs the
+    # lane pipeline's 0.55).  BENCH_CANT=0 skips it.
+    cant_fields = {}
+    if os.environ.get("BENCH_CANT", "1") == "1":
+        try:
+            from sparse_matrix_with_flops_tpu.io.native import (
+                spgemm_mt_baseline,
+            )
+            from sparse_matrix_with_flops_tpu.ops.block_spgemm import (
+                block_spgemm_tiled,
+                plan_block,
+            )
+            from sparse_matrix_with_flops_tpu.utils.generate import banded_csr
+
+            ca = banded_csr(62451, bandwidth=32)
+            c_oflops, _ = spgemm_upper_bounds(ca, ca)
+            t0 = time.monotonic()
+            cplan = plan_block(ca, ca)
+            c_plan_ms = (time.monotonic() - t0) * 1e3
+            dca = jax.device_put(ca)
+            c_cap = int(
+                np.asarray(
+                    jax.jit(
+                        lambda x: block_spgemm_tiled(x, x, cplan).nnz
+                    )(dca)
+                )
+            )
+
+            def cstep(x):
+                a2 = CSR(
+                    dca.row_ptr, dca.col_ind, dca.values + x, dca.ncols
+                )
+                out = block_spgemm_tiled(a2, a2, cplan).to_csr(
+                    out_cap=c_cap
+                )
+                return (out.row_ptr, out.col_ind, out.values)
+
+            c_ms = slope_bench(cstep)
+            cant_fields = {
+                "cant_block_ms": round(c_ms, 3),
+                "cant_block_gflops": round(2.0 * c_oflops / c_ms / 1e6, 3),
+                "cant_plan_ms": round(c_plan_ms, 1),
+            }
+            crp = np.asarray(ca.row_ptr)
+            cnnz = int(crp[-1])
+            cmt = spgemm_mt_baseline(
+                crp,
+                np.asarray(ca.col_ind)[:cnnz],
+                np.asarray(ca.values)[:cnnz],
+                ca.ncols,
+            )
+            if cmt:
+                cant_fields["cant_vs_baseline_mt"] = round(
+                    cmt[0] / c_ms, 3
+                )
+        except Exception as e:  # keep the primary metric alive
+            cant_fields = {"cant_block_error": type(e).__name__}
+
     dev = jax.devices()[0]
     rec = {
         "metric": "spgemm_rmat_s%d_gflops" % scale,
@@ -143,6 +203,7 @@ def main() -> None:
     }
     if vs_mt is not None:
         rec["vs_baseline_mt"] = round(vs_mt, 3)
+    rec.update(cant_fields)
     print(json.dumps(rec))
 
 
