@@ -838,9 +838,10 @@ def _tiles_impl(
             # 16 MB default, so compact_nonzero_rows raises its scoped
             # limit for wide rows (96 MB vs 128 MB physical; the XLA
             # lane-sort fallback it replaces measured 550 ms of the
-            # 786 ms s16 kernel, tools/profile_fused.py round 4).  Rows
-            # wider than 65536 (s17+) still take the fallback.
-            if ncp <= 65536:
+            # 786 ms s16 kernel, tools/profile_fused.py round 4).  Width
+            # 131072 (s17) compiles and validates on-chip too (~52 MB
+            # scoped; round-4 probe); past that, the fallback.
+            if ncp <= 131072:
                 key, vals = compact_nonzero_rows(
                     c_d, N, interpret=jax.default_backend() != "tpu"
                 )

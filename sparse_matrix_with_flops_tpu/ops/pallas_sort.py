@@ -312,11 +312,12 @@ def compact_nonzero_rows(
     kern = partial(_compact_rows_kernel, N=n, ncols=ncols)
     grid = (r // rows_per_step,)
     blk = lambda g: (g, 0)
-    # width 65536 needs ~26 MB of scoped VMEM at 8 rows/step — past
-    # Mosaic's conservative 16 MB default but well inside the v5e's
-    # 128 MB physical; raising it replaces the XLA lane-sort fallback
-    # for s16-class hub rows (measured 550 ms of the 786 ms s16 kernel,
-    # tools/profile_fused.py round 4)
+    # width 65536 needs ~26 MB of scoped VMEM at 8 rows/step (131072:
+    # ~52 MB) — past Mosaic's conservative 16 MB default but well inside
+    # the v5e's 128 MB physical; raising it replaces the XLA lane-sort
+    # fallback for s16/s17-class hub rows (the fallback measured 550 ms
+    # of the 786 ms s16 kernel, tools/profile_fused.py round 4; both
+    # widths compile AND validate on-chip, round-4 probes)
     params = None
     if n > 32768 and not interpret:
         params = pltpu.CompilerParams(vmem_limit_bytes=96 << 20)
