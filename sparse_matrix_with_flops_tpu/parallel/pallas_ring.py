@@ -78,7 +78,13 @@ def ring_all_gather(x, axis: str, d: int, interpret: bool = False):
             pltpu.SemaphoreType.DMA((nsem,)),
             pltpu.SemaphoreType.DMA((nsem,)),
         ],
-        compiler_params=pltpu.CompilerParams(collective_id=0),
+        # collective_id pairs the RDMA barriers across chips; Mosaic
+        # rejects it when the kernel issues no collective (d=1)
+        **(
+            {"compiler_params": pltpu.CompilerParams(collective_id=0)}
+            if d > 1
+            else {}
+        ),
         interpret=interpret,
     )(x)
 
@@ -116,6 +122,10 @@ def _ring_mm_kernel(
             a_ref[:, k * lr : (k + 1) * lr],
             bufs[pl.ds(k * lr, lr)],
             preferred_element_type=jnp.float32,
+            # full-f32 MXU passes: default precision feeds bf16 inputs
+            # (measured 1e-2-class error at depth 128, round-4 smoke) —
+            # QValue=float parity wants f32
+            precision=jax.lax.Precision.HIGHEST,
         )
         if k < d - 1:
             rdma(k).wait()  # block k+1 resident for the next step
@@ -168,7 +178,11 @@ def ring_matmul(a_loc, b_loc, axis: str, d: int, interpret: bool = False):
             pltpu.SemaphoreType.DMA((nsem,)),
             pltpu.SemaphoreType.DMA((nsem,)),
         ],
-        compiler_params=pltpu.CompilerParams(collective_id=0),
+        **(
+            {"compiler_params": pltpu.CompilerParams(collective_id=0)}
+            if d > 1
+            else {}
+        ),
         interpret=interpret,
     )(a_rot, b_loc)
 
