@@ -135,11 +135,9 @@ def run_one(name, a, kernel: str, check: bool = False):
     t_plan0 = _time.monotonic()
     routed = None
     if kernel == "auto":
-        from ..ops.dispatch import BLOCK_FILL_THRESHOLD
-        from ..ops.block_spgemm import block_fill_estimate
+        from ..ops.dispatch import route
 
-        fill = block_fill_estimate(a, a)
-        kernel = "block" if fill >= BLOCK_FILL_THRESHOLD else "ell"
+        kernel, fill = route(a, a)
         routed = {"fill": round(fill, 4), "kernel": kernel}
     if kernel == "esc":
         fn = lambda x: spgemm(x, x, product_cap, out_cap)
@@ -191,8 +189,9 @@ def run_one(name, a, kernel: str, check: bool = False):
 
     def step(x):
         a2 = CSR(da.row_ptr, da.col_ind, da.values + x, da.ncols)
-        out = fn(a2)
-        return (out.row_ptr, out.col_ind, out.values)
+        # tree leaves keep this generic over CSR and TiledCSR results
+        # (ell-tiled returns TiledCSR, which has no .col_ind attribute)
+        return tuple(jax.tree.leaves(fn(a2)))
 
     ms = slope_bench(step)
     rec = {
@@ -216,7 +215,10 @@ def run_one(name, a, kernel: str, check: bool = False):
 
         want_nnz = _scipy_nnzc(a)
         out = jax.jit(fn)(da)
-        got_nnz = int(np.asarray(out.row_ptr)[-1])
+        if hasattr(out, "counts"):  # TiledCSR (ell-tiled)
+            got_nnz = int(np.asarray(jax.jit(lambda o: o.nnz)(out)))
+        else:
+            got_nnz = int(np.asarray(out.row_ptr)[-1])
         rec["nnzc"] = got_nnz
         rec["nnzc_scipy"] = want_nnz
         rec["nnzc_ok"] = bool(got_nnz == want_nnz)

@@ -82,30 +82,83 @@ class BlockPlan:
     __hash__ = object.__hash__
 
 
+_OCC_GRID_MAX = 1 << 26  # occupancy-bitmap inverse up to a 64M-cell grid
+
+
+def _unique_inverse_grid(blk_r: np.ndarray, blk_c: np.ndarray, n_c: int,
+                         grid: int):
+    """``np.unique(blk_r * n_c + blk_c, return_inverse=True)`` in O(nnz)
+    via an occupancy bitmap over the (bounded) block grid — no nnz-scale
+    sort.  The grid is #blockrows x #blockcols cells: tiny next to nnz
+    for every single-chip-feasible shape (cant: 239k cells vs 4M nnz;
+    the nnz-scale argsort inside np.unique was ~80% of plan_block's
+    ~500 ms, VERDICT r4 next-round #1).  Falls back to np.unique past
+    _OCC_GRID_MAX cells."""
+    if grid <= _OCC_GRID_MAX:
+        key = blk_r * np.int32(n_c) + blk_c  # int32: grid < 2^26
+        occ = np.zeros(grid, np.bool_)
+        occ[key] = True
+        id_of = np.cumsum(occ, dtype=np.int32)
+        uniq = np.flatnonzero(occ)
+        return uniq, id_of[key] - 1
+    key = blk_r.astype(np.int64) * n_c + blk_c.astype(np.int64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    return uniq, inv.astype(np.int32, copy=False)
+
+
+def _blk_coords(rp: np.ndarray, ci: np.ndarray, bs: int, cache_on=None):
+    """Per-entry (row, col, row//bs, col//bs) in int32, shift-based when
+    bs is a power of two.  With ``cache_on`` (a CSR), the result is
+    memoised on the instance keyed by ``bs`` so the auto-dispatch fill
+    estimate and a following plan_block share one pass (csr_host's
+    caching pattern)."""
+    if cache_on is not None:
+        cached = getattr(cache_on, "_blk_coords_cache", None)
+        if cached is not None and cached[0] == bs:
+            return cached[1]
+    nnz = int(rp[-1])
+    r = repeat_idx(np.diff(rp), nnz)  # int32
+    c = ci[:nnz]
+    if bs & (bs - 1) == 0:
+        s = bs.bit_length() - 1
+        out = (r, c, r >> s, c >> s)
+    else:
+        out = (r, c, r // bs, c // bs)
+    if cache_on is not None:
+        try:
+            object.__setattr__(cache_on, "_blk_coords_cache", (bs, out))
+        except (AttributeError, TypeError):
+            pass
+    return out
+
+
 def plan_block(a: CSR, b: CSR, bs: int = 128) -> BlockPlan:
     """Host block-structure analysis for C = A·B.
 
-    Cost: a handful of nnz-scale sorts/uniques — the gnnz.cuh dispatcher
-    role, reported in plan_ms by the drivers."""
+    Cost: O(nnz) scatter/gather passes + block-grid-scale scans (no
+    nnz-scale sort) — the gnnz.cuh dispatcher role, reported in plan_ms
+    by the drivers.  When ``a is b`` (the corpus' A·A multiplies) the
+    block structure is derived once and shared."""
     rp_a, ci_a = csr_host(a)
     nnz_a = int(rp_a[-1])
-    ar = repeat_idx(np.diff(rp_a), nnz_a).astype(np.int64)
-    ac = ci_a[:nnz_a].astype(np.int64)
-    rp_b, ci_b = csr_host(b)
-    nnz_b = int(rp_b[-1])
-    br = repeat_idx(np.diff(rp_b), nnz_b).astype(np.int64)
-    bc = ci_b[:nnz_b].astype(np.int64)
-
     nbk = -(-b.rows // bs)  # block rows of B = block cols of A
     ncb = -(-b.ncols // bs)  # block cols of B / C
     mbr = -(-a.rows // bs)
 
-    akey = (ar // bs) * nbk + (ac // bs)
-    aub, a_blk = np.unique(akey, return_inverse=True)
+    ar, ac, arb, acb = _blk_coords(rp_a, ci_a, bs, cache_on=a)
+    aub, a_blk = _unique_inverse_grid(arb, acb, nbk, mbr * nbk)
     n_ablk = int(aub.size)
-    bkey = (br // bs) * ncb + (bc // bs)
-    bub, b_blk = np.unique(bkey, return_inverse=True)
-    n_bblk = int(bub.size)
+    if a is b and nbk == ncb:
+        rp_b, ci_b = rp_a, ci_a
+        nnz_b = nnz_a
+        br, bc = ar, ac
+        bub, b_blk, n_bblk = aub, a_blk, n_ablk
+    else:
+        rp_b, ci_b = csr_host(b)
+        nnz_b = int(rp_b[-1])
+        br, bc, brb, bcb = _blk_coords(rp_b, ci_b, bs, cache_on=b)
+        bub, b_blk = _unique_inverse_grid(brb, bcb, ncb, nbk * ncb)
+        n_bblk = int(bub.size)
 
     # B block-CSR over block rows (bub is sorted by (block row, block col))
     b_brow = bub // ncb
@@ -120,8 +173,12 @@ def plan_block(a: CSR, b: CSR, bs: int = 128) -> BlockPlan:
     cnt = brp[a_bcol + 1] - brp[a_bcol]
     pair_a = fast_repeat(np.arange(n_ablk, dtype=np.int64), cnt)
     pair_b = concat_ranges(brp[a_bcol], brp[a_bcol + 1])
-    ckey = a_brow[pair_a] * ncb + b_bcol[pair_b]
-    cub, pair_c = np.unique(ckey, return_inverse=True)
+    cub, pair_c = _unique_inverse_grid(
+        a_brow[pair_a].astype(np.int32),
+        b_bcol[pair_b].astype(np.int32),
+        ncb,
+        mbr * ncb,
+    )
     n_cblk = int(cub.size)
     order = np.argsort(pair_c, kind="stable")
     pair_a, pair_b, pair_c = pair_a[order], pair_b[order], pair_c[order]
@@ -146,13 +203,13 @@ def plan_block(a: CSR, b: CSR, bs: int = 128) -> BlockPlan:
         n=b.ncols,
         nnz_a=nnz_a,
         nnz_b=nnz_b,
-        a_blk=a_blk.astype(np.int32),
-        a_r=(ar % bs).astype(np.int32),
-        a_c=(ac % bs).astype(np.int32),
+        a_blk=a_blk.astype(np.int32, copy=False),
+        a_r=(ar & (bs - 1) if bs & (bs - 1) == 0 else ar % bs),
+        a_c=(ac & (bs - 1) if bs & (bs - 1) == 0 else ac % bs),
         n_ablk=n_ablk,
-        b_blk=b_blk.astype(np.int32),
-        b_r=(br % bs).astype(np.int32),
-        b_c=(bc % bs).astype(np.int32),
+        b_blk=b_blk.astype(np.int32, copy=False),
+        b_r=(br & (bs - 1) if bs & (bs - 1) == 0 else br % bs),
+        b_c=(bc & (bs - 1) if bs & (bs - 1) == 0 else bc % bs),
         n_bblk=n_bblk,
         pair_a=pair_a.astype(np.int32),
         pair_b=pair_b.astype(np.int32),
@@ -166,6 +223,17 @@ def plan_block(a: CSR, b: CSR, bs: int = 128) -> BlockPlan:
     )
 
 
+def _occupied_blocks(rp, ci, bs: int, n_r: int, n_c: int, cache_on=None) -> int:
+    """Occupied-block count in O(nnz) via the grid bitmap (no sort)."""
+    _, _, rb, cb = _blk_coords(rp, ci, bs, cache_on=cache_on)
+    grid = n_r * n_c
+    if grid <= _OCC_GRID_MAX:
+        occ = np.zeros(grid, np.bool_)
+        occ[rb * np.int32(n_c) + cb] = True
+        return int(np.count_nonzero(occ))
+    return int(np.unique(rb.astype(np.int64) * n_c + cb).size)
+
+
 def block_fill_estimate(a: CSR, b: CSR, bs: int = 128) -> float:
     """Cheap routing signal: min(block fill of A, of B) without the full
     plan.  The MXU path wins when the occupied blocks are dense enough
@@ -173,19 +241,17 @@ def block_fill_estimate(a: CSR, b: CSR, bs: int = 128) -> float:
     practice fill >= ~5% (see docs/ROOFLINE.md round-4 rows)."""
     rp_a, ci_a = csr_host(a)
     nnz_a = int(rp_a[-1])
-    ar = repeat_idx(np.diff(rp_a), nnz_a).astype(np.int64)
-    ac = ci_a[:nnz_a].astype(np.int64)
     nbk = -(-b.rows // bs)
-    na = np.unique((ar // bs) * nbk + (ac // bs)).size
+    mbr = -(-a.rows // bs)
+    na = _occupied_blocks(rp_a, ci_a, bs, mbr, nbk, cache_on=a)
+    fa = nnz_a / max(na * bs * bs, 1)
+    if a is b and nbk == -(-b.ncols // bs):
+        return fa
     rp_b, ci_b = csr_host(b)
     nnz_b = int(rp_b[-1])
-    br2 = repeat_idx(np.diff(rp_b), nnz_b).astype(np.int64)
-    bc2 = ci_b[:nnz_b].astype(np.int64)
     ncb = -(-b.ncols // bs)
-    nb = np.unique((br2 // bs) * ncb + (bc2 // bs)).size
-    return min(
-        nnz_a / max(na * bs * bs, 1), nnz_b / max(nb * bs * bs, 1)
-    )
+    nb = _occupied_blocks(rp_b, ci_b, bs, nbk, ncb, cache_on=b)
+    return min(fa, nnz_b / max(nb * bs * bs, 1))
 
 
 def _densify(blk, r, c, vals, n_blocks, bs):

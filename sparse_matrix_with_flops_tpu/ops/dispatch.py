@@ -28,6 +28,21 @@ from .ell_esc import plan_ell, spgemm_ell
 BLOCK_FILL_THRESHOLD = 0.05
 
 
+def route(
+    a: CSR,
+    b: CSR,
+    fill_threshold: float = BLOCK_FILL_THRESHOLD,
+    bs: int = 128,
+) -> tuple[str, float]:
+    """The dispatch decision itself: ('block'|'ell', measured fill).
+
+    Single source of truth for the routing rule — spgemm_auto and the
+    corpus runner both call this, so a recorded ``routed`` field always
+    reflects production routing (ADVICE r4 #2)."""
+    fill = block_fill_estimate(a, b, bs=bs)
+    return ("block" if fill >= fill_threshold else "ell"), fill
+
+
 def spgemm_auto(
     a: CSR,
     b: CSR,
@@ -36,6 +51,7 @@ def spgemm_auto(
 ) -> CSR:
     """C = A·B, routed to the MXU block path or the lane pipeline by
     measured block fill (the flops.cu classifier role)."""
-    if block_fill_estimate(a, b, bs=bs) >= fill_threshold:
+    kernel, _ = route(a, b, fill_threshold, bs)
+    if kernel == "block":
         return block_spgemm(a, b, plan_block(a, b, bs=bs))
     return spgemm_ell(a, b, plan_ell(a, b))
