@@ -12,6 +12,11 @@ algorithm family as the reference CPU kernels, on 2026 hardware.
 The kernel is the ELL-ESC pipeline (ops/ell_esc.py): flops-classified row
 tiles, row-gather expansion, lane-axis sort-compress, dense-MXU path for
 hub rows, exact-size assembly.
+
+Timing discipline (VERDICT r4 #4): the headline is the MEDIAN of three
+independent ``slope_bench`` measurements and the record carries their
+``spread`` ((max-min)/median) so a noisy capture is visible in the gate
+artifact instead of silently swinging the number.
 """
 
 from __future__ import annotations
@@ -39,6 +44,16 @@ def _axon_relay_down() -> bool:
         return True
 
 
+def _median_slope(step, n: int = 3):
+    """Median of ``n`` independent slope_bench measurements + spread."""
+    from sparse_matrix_with_flops_tpu.utils.timing import slope_bench
+
+    ms = sorted(slope_bench(step) for _ in range(n))
+    med = ms[len(ms) // 2]
+    spread = (ms[-1] - ms[0]) / med if med > 0 else 0.0
+    return med, spread
+
+
 def main() -> None:
     import jax
 
@@ -59,7 +74,6 @@ def main() -> None:
     )
     from sparse_matrix_with_flops_tpu.ops.spgemm import spgemm_upper_bounds
     from sparse_matrix_with_flops_tpu.utils.generate import rmat_csr
-    from sparse_matrix_with_flops_tpu.utils.timing import slope_bench
 
     scale = int(os.environ.get("BENCH_SCALE", "14"))
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "8"))
@@ -94,7 +108,7 @@ def main() -> None:
         )
         return (csr.row_ptr, csr.col_ind, csr.values, nnzc)
 
-    ms = slope_bench(step)
+    ms, spread = _median_slope(step)
     gflops = flops2 / ms / 1e6
 
     # host-CPU Gustavson baselines (best of 5 to dodge host contention):
@@ -133,47 +147,38 @@ def main() -> None:
     # second headline: the reference's own FEM-band anchor (cant.mtx
     # class, tools/res.txt) on the dense-block MXU path — the workload
     # where the engine choice matters most (round-4: 11.2 GFLOPS vs the
-    # lane pipeline's 0.55).  BENCH_CANT=0 skips it.
+    # lane pipeline's 0.55).  The setup (plan + exact-nnz bucket + fused
+    # step) is cli.corpus.prep_block_step — the SAME code path the corpus
+    # runner times (ADVICE r4 #4).  BENCH_CANT=0 skips it.
     cant_fields = {}
     if os.environ.get("BENCH_CANT", "1") == "1":
         try:
+            from sparse_matrix_with_flops_tpu.cli.corpus import (
+                prep_block_step,
+            )
             from sparse_matrix_with_flops_tpu.io.native import (
                 spgemm_mt_baseline,
-            )
-            from sparse_matrix_with_flops_tpu.ops.block_spgemm import (
-                block_spgemm_tiled,
-                plan_block,
             )
             from sparse_matrix_with_flops_tpu.utils.generate import banded_csr
 
             ca = banded_csr(62451, bandwidth=32)
             c_oflops, _ = spgemm_upper_bounds(ca, ca)
-            t0 = time.monotonic()
-            cplan = plan_block(ca, ca)
-            c_plan_ms = (time.monotonic() - t0) * 1e3
             dca = jax.device_put(ca)
-            c_cap = int(
-                np.asarray(
-                    jax.jit(
-                        lambda x: block_spgemm_tiled(x, x, cplan).nnz
-                    )(dca)
-                )
-            )
+            cfn, c_plan_ms, _cap = prep_block_step(ca, dca)
 
             def cstep(x):
                 a2 = CSR(
                     dca.row_ptr, dca.col_ind, dca.values + x, dca.ncols
                 )
-                out = block_spgemm_tiled(a2, a2, cplan).to_csr(
-                    out_cap=c_cap
-                )
+                out = cfn(a2)
                 return (out.row_ptr, out.col_ind, out.values)
 
-            c_ms = slope_bench(cstep)
+            c_ms, c_spread = _median_slope(cstep)
             cant_fields = {
                 "cant_block_ms": round(c_ms, 3),
                 "cant_block_gflops": round(2.0 * c_oflops / c_ms / 1e6, 3),
                 "cant_plan_ms": round(c_plan_ms, 1),
+                "cant_spread": round(c_spread, 3),
             }
             crp = np.asarray(ca.row_ptr)
             cnnz = int(crp[-1])
@@ -184,11 +189,14 @@ def main() -> None:
                 ca.ncols,
             )
             if cmt:
-                cant_fields["cant_vs_baseline_mt"] = round(
-                    cmt[0] / c_ms, 3
+                cant_fields["cant_vs_baseline_mt"] = round(cmt[0] / c_ms, 3)
+                cant_fields["cant_vs_baseline_mt_cold"] = round(
+                    cmt[0] / (c_ms + c_plan_ms), 3
                 )
         except Exception as e:  # keep the primary metric alive
-            cant_fields = {"cant_block_error": type(e).__name__}
+            cant_fields = {
+                "cant_block_error": f"{type(e).__name__}: {str(e)[:160]}"
+            }
 
     dev = jax.devices()[0]
     rec = {
@@ -198,6 +206,7 @@ def main() -> None:
         "vs_baseline": round(vs_baseline, 3),
         "plan_ms": round(plan_ms, 1),
         "gflops_cold": round(flops2 / (plan_ms + ms) / 1e6, 3),
+        "spread": round(spread, 3),
         "platform": jax.default_backend(),
         "device": getattr(dev, "device_kind", str(dev)),
     }

@@ -120,6 +120,35 @@ def run_partitioned(
     return rec
 
 
+def prep_block_step(a, da=None):
+    """Shared dense-block benchmark setup (used by run_one AND bench.py —
+    one copy of the plan + exact-nnz bucket sizing + fused step logic,
+    ADVICE r4 #4).  Returns ``(fn, plan_ms, cap)`` where ``fn(csr)``
+    assembles the exact flat CSR into the pre-sized bucket."""
+    import time as _time
+
+    import numpy as np
+
+    from ..ops.block_spgemm import block_spgemm_tiled, plan_block
+
+    if da is None:
+        da = jax.device_put(a)
+    t0 = _time.monotonic()
+    plan = plan_block(a, a)
+    plan_ms = (_time.monotonic() - t0) * 1e3
+    # size the exact-nnz output bucket once (the two-phase symbolic
+    # role); the timed step then assembles into that fixed bucket,
+    # matching the ELL path's accounting
+    cap = int(
+        np.asarray(jax.jit(lambda x: block_spgemm_tiled(x, x, plan).nnz)(da))
+    )
+
+    def fn(x):
+        return block_spgemm_tiled(x, x, plan).to_csr(out_cap=cap)
+
+    return fn, plan_ms, cap
+
+
 def run_one(name, a, kernel: str, check: bool = False):
     import time as _time
 
@@ -150,21 +179,13 @@ def run_one(name, a, kernel: str, check: bool = False):
         plan = plan_ell(a, a)
         fn = lambda x: spgemm_ell_tiled(x, x, plan)
     elif kernel == "block":
-        import numpy as np
-
-        from ..ops.block_spgemm import block_spgemm_tiled, plan_block
-
-        plan = plan_block(a, a)
-        plan_ms = (_time.monotonic() - t_plan0) * 1e3
-        # size the exact-nnz output bucket once (the two-phase symbolic
-        # role); the timed step then assembles into that fixed bucket,
-        # matching the ELL path's accounting
-        cap = int(
-            np.asarray(
-                jax.jit(lambda x: block_spgemm_tiled(x, x, plan).nnz)(da)
-            )
-        )
-        fn = lambda x: block_spgemm_tiled(x, x, plan).to_csr(out_cap=cap)
+        # host planning = route fill estimate (when we came through
+        # 'auto'; t_plan0 predates it) + plan_block; the bucket-sizing
+        # device call inside prep_block_step is excluded, as on the ELL
+        # path
+        pre_ms = (_time.monotonic() - t_plan0) * 1e3
+        fn, p_ms, _cap = prep_block_step(a, da)
+        plan_ms = pre_ms + p_ms
     else:
         from ..ops.ell_esc import _tiles_impl, _use_pallas_default
 

@@ -257,7 +257,10 @@ def test_assembly_two_phase_path(rng):
     a = _random_csr(rng, 40, 40, 0.2)
     plan = plan_ell(a, a, chunk=8, max_w=64)
     fc, fv, counts, fb = _tiles_impl(a, a, plan, 8)
-    got = _flat_assemble(fc, fv, counts, fb, 40, None, True, use_pallas=True)
+    got = _flat_assemble(
+        fc, fv, counts, fb, 40, None, True, use_pallas=True,
+        vstart=plan.vstart,
+    )
     want = spgemm_dense_oracle(a, a)
     assert bool(
         got._drop_explicit_zeros().is_raw_equal(
@@ -342,8 +345,8 @@ def test_assembly_window_boundaries(rng, max_w):
 
 def test_hub_union_restriction_exact(rng):
     """Hub rows' dense contraction space is restricted to the union of B
-    rows they reference (plan.hub_kmap/hub_kh); the result must stay
-    exact when that union is a small subset of K."""
+    rows their group references (plan.hub_groups[..].kmap/khp); the
+    result must stay exact when that union is a small subset of K."""
     n = 640
     # B: rows 0..9 wide (180 entries), the rest light (3 entries)
     bd = np.zeros((n, n), np.float32)
@@ -365,7 +368,8 @@ def test_hub_union_restriction_exact(rng):
     a = CSR.from_dense(ad)
     plan = plan_ell(a, b, chunk=64, max_w=256)
     assert plan.huge_rows.size > 0
-    assert plan.hub_kh < b.rows  # the union restriction engaged
+    assert plan.hub_groups  # the dense hub engaged
+    assert max(g.khp for g in plan.hub_groups) < b.rows  # union restricted
     got = spgemm_ell(a, b, plan)
     want = spgemm_dense_oracle(a, b)
     assert bool(

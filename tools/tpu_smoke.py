@@ -93,12 +93,29 @@ def main() -> int:
         ok &= _check(f"sort_dedup_compact W={w} R={r}", gsum, wsum, 1e-4)
 
     # --- compact_nonzero_rows: hub-row compaction ----------------------
-    for ncp, ncols in [(16384, 16384), (32768, 20000)]:
+    # 65536/131072 are the s16/s17 hub widths: they need the raised
+    # scoped-VMEM limit (~26/52 MB), so a Mosaic rejection on a
+    # smaller-VMEM TPU generation must show up HERE, not in production
+    # (ADVICE r4 #1); the except guard records it as a BOUNDARY like the
+    # wide sort classes
+    for ncp, ncols in [(16384, 16384), (32768, 20000),
+                       (65536, 65536), (131072, 131000)]:
         dense = np.zeros((16, ncp), np.float32)
         for i in range(16):
             cols = rng.choice(ncols, size=200, replace=False)
             dense[i, cols] = rng.random(200).astype(np.float32) + 0.1
-        key, val = compact_nonzero_rows(jnp.asarray(dense), ncols)
+        try:
+            key, val = compact_nonzero_rows(jnp.asarray(dense), ncols)
+        except Exception as e:
+            if ncp >= 65536:
+                print(
+                    f"BOUNDARY compact_nonzero_rows ncp={ncp}: scoped "
+                    f"VMEM past this generation's budget "
+                    f"({type(e).__name__}); hub rows this wide fall "
+                    "back to the XLA lane sort"
+                )
+                continue
+            raise
         key, val = np.asarray(key), np.asarray(val)
         good = True
         for i in range(16):
