@@ -246,6 +246,64 @@ def run_one(name, a, kernel: str, check: bool = False):
     return rec
 
 
+def run_duel(name, a, check: bool = False):
+    """Run BOTH engines plus the production route decision, recording
+    how much the auto choice loses to the better engine (VERDICT r4 #5:
+    the dispatch boundary must be validated, not extrapolated from one
+    calibration point per side)."""
+    from ..ops.dispatch import route
+
+    kernel, fill = route(a, a)
+    recs = {}
+    for k in ("block", "ell"):
+        if k == "block" and fill < 0.02:
+            # power-law block plans explode (pairs ~ nnz^2/blocks); the
+            # boundary question only matters near the threshold
+            continue
+        recs[k] = run_one(name, a, k, check=check)
+    rec = dict(recs[kernel])
+    rec["routed"] = {"fill": round(fill, 4), "kernel": kernel}
+    rec["duel_ms"] = {k: r["ms"] for k, r in recs.items()}
+    best = min(r["ms"] for r in recs.values())
+    rec["auto_loss"] = round(rec["ms"] / best - 1.0, 4)
+    return rec
+
+
+def family_jobs():
+    """Synthetic workload-equivalents of the reference corpus anchors
+    (tools/olarge_flops.txt; run2.sh:8 corpus discipline): FEM bands
+    spanning in-band densities 0.05-1.0 (block fills ~0.02-0.17) and
+    power-law graphs down to the hypersparse web class."""
+    from ..utils.generate import banded_csr, rmat_csr
+
+    return [
+        ("banded_cant_62k_b32", lambda: banded_csr(62451, bandwidth=32)),
+        (
+            "fem_shipsec_60k_b60_d045",
+            lambda: banded_csr(60000, bandwidth=60, seed=1, density=0.45),
+        ),
+        (
+            "fem_consph_83k_b250_d014",
+            lambda: banded_csr(83334, bandwidth=250, seed=2, density=0.14),
+        ),
+        (
+            "fem_pwtk_100k_b100_d025",
+            lambda: banded_csr(100000, bandwidth=100, seed=3, density=0.25),
+        ),
+        (
+            "fem_mid_60k_b400_d005",
+            lambda: banded_csr(60000, bandwidth=400, seed=4, density=0.05),
+        ),
+        ("rmat_s14", lambda: rmat_csr(14, edge_factor=8, seed=7)),
+        (
+            "web_hyper_s16_ef11",
+            lambda: rmat_csr(
+                16, edge_factor=11, a=0.65, b=0.15, c=0.15, seed=9
+            ),
+        ),
+    ]
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="corpus benchmark runner")
     p.add_argument("--dir", default=None, help="directory of .mtx/.snap files")
@@ -291,6 +349,18 @@ def main(argv=None) -> int:
         help=">1: row-partitioned driver (ops/partitioned.py law) — "
         "sum of per-group slope times; needed past single-dispatch HBM",
     )
+    p.add_argument(
+        "--families",
+        action="store_true",
+        help="add the reference-anchor synthetic corpus "
+        "(FEM bands at fills 0.05-0.45 + power-law/web classes)",
+    )
+    p.add_argument(
+        "--duel",
+        action="store_true",
+        help="run BOTH engines per matrix and record auto_loss "
+        "(how much the production route loses to the better engine)",
+    )
     p.add_argument("--chunk", type=int, default=None, help="plan chunk override")
     p.add_argument("--max-w", type=int, default=None, help="plan max_w override")
     p.add_argument("--out", default=None, help="append JSON lines here")
@@ -306,6 +376,9 @@ def main(argv=None) -> int:
         ):
             coo = load_coo(f, is_trans=False)
             jobs.append((os.path.basename(f), coo.sum_duplicates().to_csr()))
+    if args.families:
+        for name, build in family_jobs():
+            jobs.append((name, build()))
     if args.synthetic or not jobs:
         from ..utils.generate import banded_csr, rmat_csr
 
@@ -330,6 +403,8 @@ def main(argv=None) -> int:
                 name, a, args.parts, check=args.check,
                 chunk=args.chunk, max_w=args.max_w,
             )
+        elif args.duel:
+            rec = run_duel(name, a, check=args.check)
         else:
             rec = run_one(name, a, args.kernel, check=args.check)
         if args.mt:

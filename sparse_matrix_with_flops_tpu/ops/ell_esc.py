@@ -515,11 +515,13 @@ def _plan_hub_groups(hub_rows, rp, safe, brp, bci, N, K, rf):
     mb_of_row = np.searchsorted(bcuts[1:], np.arange(H), side="right")
     occ = np.zeros((MB, K), np.bool_)
     occ[mb_of_row[e_parent], e_brow] = True
-    # pick G by a combined cost: device matmul seconds (f32-HIGHEST MXU
-    # ~30 TF/s, weighted 2x — warm callers reuse the plan) + host group-
-    # build seconds (~150 ns per union B entry, the measured numpy
-    # rate).  Unbalanced G=64 grouping measured 1.1 s of host planning
-    # at s16 for a ~70 ms device gain.
+    # pick G by a combined cost, coefficients measured on-chip (round-5
+    # s16 stage profile): device = matmul seconds (f32-HIGHEST MXU
+    # ~28 TF/s) + B-densify scatter seconds (~25 ns/entry — group
+    # overlap duplicates union entries as G grows); host = group-build
+    # numpy (~156 ns/union entry + ~3 ms/group).  Warm callers reuse
+    # the plan across many multiplies (slope benchmarks, R-MCL), so the
+    # device term is weighted 4x.
     blen = (brp[1:] - brp[:-1]).astype(np.float64)
     best_g, best_j, occ_best = 1, np.inf, None
     G = 1
@@ -530,7 +532,9 @@ def _plan_hub_groups(hub_rows, rp, safe, brp, bci, N, K, rf):
         khp_g = np.maximum(128, -(-kh_g // 128) * 128)
         flops = float((2.0 * hc_g * khp_g).sum()) * ncp
         host_ents = float((occ_g @ blen).sum())
-        j = 2.0 * flops / 30e12 + host_ents * 1.5e-7
+        dev_s = flops / 28e12 + host_ents * 2.5e-8
+        host_s = host_ents * 1.56e-7 + G * 3e-3
+        j = 4.0 * dev_s + host_s
         if j < best_j:
             best_g, best_j, occ_best = G, j, occ_g
         G *= 2
@@ -1288,11 +1292,24 @@ def _tiles_impl(
             if plan.vstart is not None
             else np.arange(plan.rows + 1, dtype=np.int32)
         )
-        # opt-in bf16 MXU inputs for the hub matmul (4x MXU rate on
-        # v5e; accumulation stays f32 via preferred_element_type).
-        # Read at trace time — a bench knob, not a per-call switch.
-        hub_bf16 = os.environ.get("SMF_HUB_BF16", "0") == "1"
+        # hub matmul precision (trace-time env knob):
+        #   highest (default) — true f32, values ~2e-7 of the f64 oracle
+        #     (beats scipy f32's 7e-7; the DEFAULT-precision bf16
+        #     rounding measured 7.4e-3, over the reference's own 1e-3
+        #     comparator bar, nGpuSpMM.cc:111);
+        #   high — 3-pass bf16, ~1.1e-5 mean rel, ~2x the MXU rate;
+        #   bf16/default — raw bf16 inputs, ~2.5e-3 (the fastest).
+        hub_prec = os.environ.get(
+            "SMF_HUB_PRECISION",
+            "bf16" if os.environ.get("SMF_HUB_BF16", "0") == "1"
+            else "highest",
+        ).lower()
+        hub_bf16 = hub_prec in ("bf16", "default")
         mxu_dt = jnp.bfloat16 if hub_bf16 else QVALUE_DTYPE
+        mm_prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+        }.get(hub_prec, jax.lax.Precision.DEFAULT)
         from .pallas_sort import compact_nonzero_rows
 
         stage3, stage4 = [], []
@@ -1351,21 +1368,11 @@ def _tiles_impl(
                     continue
                 vw = int(min(slab, N - sl * slab))
                 for h0, hc, hcp, a_d in a_ds:
-                    # HIGHEST: the DEFAULT matmul precision feeds the
-                    # MXU bf16-rounded f32 inputs — measured 7.4e-3 rel
-                    # error vs the f64 oracle where scipy's f32
-                    # Gustavson sits at 7e-7 (round-5 find; the explicit
-                    # SMF_HUB_BF16 knob remains the only reduced-
-                    # precision path)
                     part = jnp.dot(
                         a_d,
                         bd,
                         preferred_element_type=jnp.float32,
-                        precision=(
-                            jax.lax.Precision.HIGHEST
-                            if not hub_bf16
-                            else jax.lax.Precision.DEFAULT
-                        ),
+                        precision=mm_prec,
                     )
                     if _stage == 4:  # + A densify + matmul
                         # sum(part^2): a plain sum would let XLA factor

@@ -187,6 +187,128 @@ def ring_matmul(a_loc, b_loc, axis: str, d: int, interpret: bool = False):
     )(a_rot, b_loc)
 
 
+def _ring_mm_tiled_kernel(
+    a_ref, b_ref, out_ref, bufs, send_sem, recv_sem, *, d, lr, axis,
+    interpret,
+):
+    """One N-tile of the fused ring matmul (grid dimension = N tiles).
+
+    The rotating ``bufs`` scratch persists across grid steps, so a
+    neighbour racing ahead could overwrite a region this chip is still
+    reading (the write-once discipline only covers ONE tile's rotation).
+    A neighbour ENTRY BARRIER at the top of every tile restores it: each
+    chip signals both neighbours it has entered tile t and waits for
+    both — a neighbour that entered tile t has finished tile t-1's
+    compute entirely, so overwriting its buffers is safe, and
+    signal-then-wait cannot deadlock.
+
+    Rotation direction is LEFTWARD (blocks flow to me-1), so chip me
+    consumes owners me, me+1, ... — the exact accumulation order of the
+    unfused matmul+ppermute chain (parallel.rmcl_ell._segments_ring);
+    with zero-padded K widths, f32 sums match it bitwise, so the fused
+    exchange is a drop-in for the production ring (prune decisions at
+    threshold boundaries cannot flip)."""
+    me = jax.lax.axis_index(axis)
+    dst = (me - 1) % d
+
+    if d > 1 and not interpret:
+        # interpret mode emulates chips sequentially (no cross-tile
+        # race); on hardware the barrier is load-bearing
+        bar = pltpu.get_barrier_semaphore()
+        for nb in ((me + 1) % d, (me - 1) % d):
+            pltpu.semaphore_signal(
+                bar, 1, device_id=nb,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+        pltpu.semaphore_wait(bar, 2)
+
+    def rdma(k):
+        return pltpu.make_async_remote_copy(
+            src_ref=bufs.at[pl.ds(k * lr, lr)],
+            dst_ref=bufs.at[pl.ds((k + 1) * lr, lr)],
+            send_sem=send_sem.at[k],
+            recv_sem=recv_sem.at[k],
+            device_id=dst,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    bufs[pl.ds(0, lr)] = b_ref[...]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for k in range(d):
+        if k < d - 1:
+            rdma(k).start()  # block k flies while we consume it
+        acc = acc + jnp.dot(
+            a_ref[:, k * lr : (k + 1) * lr],
+            bufs[pl.ds(k * lr, lr)],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if k < d - 1:
+            rdma(k).wait()
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+@partial(
+    jax.jit, static_argnames=("axis", "d", "nt", "interpret")
+)
+def ring_matmul_tiled(
+    a_loc, b_loc, axis: str, d: int, nt: int = 2048,
+    interpret: bool = False,
+):
+    """:func:`ring_matmul` with an N-axis grid so production widths fit
+    VMEM: each grid step rotates one [lr, nt] column tile of B around
+    the ring while contracting it (VERDICT r4 #6 — the N-tiling that
+    takes the fused kernel from a pinned demo to the production hub
+    contraction of parallel.rmcl_ell).
+
+    ``a_loc``: [M, d·lr] owner-major; ``b_loc``: [lr, N] with N % nt == 0
+    (pad columns with zeros).  VMEM per step: M·d·lr + (d·lr + M)·nt
+    words."""
+    lr = b_loc.shape[0]
+    n = b_loc.shape[1]
+    if a_loc.shape[1] != d * lr:
+        raise ValueError(
+            f"a_loc has {a_loc.shape[1]} cols, want d*lr = {d * lr}"
+        )
+    if n % nt:
+        raise ValueError(f"N = {n} not a multiple of nt = {nt}")
+    me = jax.lax.axis_index(axis)
+    owner_of_k = (me + jnp.arange(d, dtype=jnp.int32)) % d
+    a_rot = jnp.take(
+        a_loc.reshape(a_loc.shape[0], d, lr), owner_of_k, axis=1
+    ).reshape(a_loc.shape)
+    kern = partial(
+        _ring_mm_tiled_kernel, d=d, lr=lr, axis=axis, interpret=interpret
+    )
+    nsem = max(d - 1, 1)
+    return pl.pallas_call(
+        kern,
+        grid=(n // nt,),
+        in_specs=[
+            pl.BlockSpec(
+                (a_loc.shape[0], d * lr), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((lr, nt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (a_loc.shape[0], nt), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((a_loc.shape[0], n), b_loc.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((d * lr, nt), b_loc.dtype),
+            pltpu.SemaphoreType.DMA((nsem,)),
+            pltpu.SemaphoreType.DMA((nsem,)),
+        ],
+        **(
+            {"compiler_params": pltpu.CompilerParams(collective_id=0)}
+            if d > 1
+            else {}
+        ),
+        interpret=interpret,
+    )(a_rot, b_loc)
+
+
 def unrotate(gathered, axis: str, d: int):
     """Reorder a ring_all_gather result from rotation order (block k =
     shard (me-k) mod d) to owner-major order (block j = shard j)."""

@@ -66,14 +66,25 @@ def rmat_csr(
     )
 
 
-def banded_csr(n: int, bandwidth: int = 32, seed: int = 0) -> CSR:
+def banded_csr(
+    n: int, bandwidth: int = 32, seed: int = 0, density: float = 1.0
+) -> CSR:
     """Banded FEM-like matrix: every row has entries in a +/- bandwidth
-    window (the cant.mtx workload shape: near-uniform row flops)."""
+    window (the cant.mtx workload shape: near-uniform row flops).
+
+    ``density < 1`` keeps each in-band entry with that probability (the
+    diagonal always kept) — the consph/pwtk/shipsec class of wider,
+    sparser bands.  In-band density directly controls the bs x bs block
+    fill the engine dispatcher routes on (ops/dispatch.py), so sweeping
+    it maps the block/lane crossover the way the reference's corpus
+    spans fills 0.05-0.4 (tools/olarge_flops.txt anchors)."""
     rng = np.random.default_rng(seed)
     offs = np.arange(-bandwidth, bandwidth + 1)
     rows = np.repeat(np.arange(n, dtype=np.int64), offs.shape[0])
     cols = rows + np.tile(offs, n)
     keep = (cols >= 0) & (cols < n)
+    if density < 1.0:
+        keep &= (rng.random(rows.shape[0]) < density) | (cols == rows)
     rows, cols = rows[keep], cols[keep]
     vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
     counts = np.bincount(rows, minlength=n)

@@ -211,6 +211,27 @@ def main() -> int:
         5e-3,
     )
 
+    # --- ring_matmul_tiled: the N-gridded production variant ------------
+    from sparse_matrix_with_flops_tpu.parallel.pallas_ring import (
+        ring_matmul_tiled,
+    )
+
+    n_t = 1024  # 2 tiles at nt=512
+    b_t = rng.normal(size=(lr_r, n_t)).astype(np.float32)
+    got_t = shard_map(
+        lambda a_, b_: ring_matmul_tiled(a_, b_, "x", 1, nt=512),
+        mesh=mesh1,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(jnp.asarray(a_r), jnp.asarray(b_t))
+    ok &= _check(
+        "ring_matmul_tiled d=1 256x128x1024 nt=512 (N-grid + scratch)",
+        got_t,
+        a_r @ b_t,
+        5e-3,
+    )
+
     print(
         f"tpu_smoke: {'ALL PASS' if ok else 'FAILURES'} "
         f"in {time.monotonic() - t0:.0f}s on {jax.default_backend()}"
