@@ -74,6 +74,11 @@ def main() -> None:
     )
     from sparse_matrix_with_flops_tpu.ops.spgemm import spgemm_upper_bounds
     from sparse_matrix_with_flops_tpu.utils.generate import rmat_csr
+    from sparse_matrix_with_flops_tpu.utils.timing import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
 
     scale = int(os.environ.get("BENCH_SCALE", "14"))
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "8"))

@@ -392,6 +392,9 @@ def main(argv=None) -> int:
             # 4,007,383 / Oflops 269,475,365, tools/res.txt)
             jobs.append(("banded_cant_62k_b32", banded_csr(62451, bandwidth=32)))
 
+    from ..utils.timing import enable_compile_cache
+
+    enable_compile_cache()
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     sink = open(args.out, "a") if args.out else None

@@ -220,10 +220,21 @@ def _auto_chunk_full(
         lane_ops = wb * np.maximum(lw * lw - l0 * l0, 0.0) / 2.0
         kh_est = min(float(ncols), float(prow[hub].sum()))
         hub_row_cost = hub_desc + 2.0 * kh_est * ncp / mxu_flops_per_desc
+        # B-ELL build term: every B row pads to a multiple of c, and the
+        # windowed build moves ~2 descriptors + 2c lanes per chunk — at
+        # c=128 on s16 the build measured 18 ms vs 0.2 at c=32 (round-5
+        # stage profile); without this term the model picked 128 for
+        # wide-class plans and paid it back in the build
+        if bcounts is not None:
+            bvol = float(tbls[i][np.minimum(bcounts, maxlen)].sum())
+        else:
+            bvol = 0.0
         j = (
             float(wb.sum()) / c
             + float(lane_ops.sum()) / 585.0
             + hub_row_cost * int(hub.sum())
+            + bvol / c  # chunk descriptors of the B-ELL class build
+            + bvol / 4.0  # window roll-select, ~2.2 ns/elem measured
         )
         scores[c] = j
         if j < best_j:

@@ -115,3 +115,31 @@ def slope_bench(make_step, ks=(1, 4), iters: int = 3) -> float:
         times[k] = ts[len(ts) // 2]
     k1, k2 = ks
     return max((times[k2] - times[k1]) / (k2 - k1), 1e-3)
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at a repo-local dir.
+
+    Wide sort-class programs (W >= 16384) cost minutes of Mosaic compile
+    through the axon tunnel; the cache makes that one-time per shape.
+    Called by the CLI drivers and bench.py (not on library import — CPU
+    test runs would bloat it).  SMF_NO_COMPILE_CACHE=1 disables."""
+    import os
+
+    if os.environ.get("SMF_NO_COMPILE_CACHE", "0") == "1":
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # explicit user choice wins
+    import jax
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "..",
+            ".jax_cache",
+        )
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
