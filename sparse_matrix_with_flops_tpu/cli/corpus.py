@@ -18,7 +18,15 @@ import sys
 import jax
 
 
-def _scipy_nnzc(a) -> int:
+def _scipy_nnzc(a) -> tuple:
+    """(value nnz, structural nnz) of A·A per scipy.
+
+    scipy's csr matmul silently DROPS entries whose f32 accumulation
+    cancels to exactly 0.0 (observed: one entry in 37M at the
+    pwtk-class row), so the honest oracle is a RANGE: the structural
+    count (0/1 pattern product — what the block engine and the sort
+    pipeline produce) down to the value-pruned count (what the dense
+    hub produces, raw-equal semantics)."""
     import numpy as np
     import scipy.sparse as sp
 
@@ -28,7 +36,11 @@ def _scipy_nnzc(a) -> int:
         (np.asarray(a.values)[:nnz], np.asarray(a.col_ind)[:nnz], rp),
         shape=a.shape,
     )
-    return int((sa @ sa).nnz)
+    vn = int((sa @ sa).nnz)
+    pat = sa.copy()
+    pat.data = np.ones_like(pat.data)
+    sn = int((pat @ pat).nnz)
+    return vn, sn
 
 
 def run_partitioned(
@@ -114,9 +126,11 @@ def run_partitioned(
     if max_w is not None:
         rec["max_w"] = max_w
     if check:
+        vn, sn = _scipy_nnzc(a)
         rec["nnzc"] = nnzc
-        rec["nnzc_scipy"] = _scipy_nnzc(a)
-        rec["nnzc_ok"] = bool(nnzc == rec["nnzc_scipy"])
+        rec["nnzc_scipy"] = vn
+        rec["nnzc_structural"] = sn
+        rec["nnzc_ok"] = bool(vn <= nnzc <= sn)
     return rec
 
 
@@ -149,7 +163,8 @@ def prep_block_step(a, da=None):
     return fn, plan_ms, cap
 
 
-def run_one(name, a, kernel: str, check: bool = False):
+def run_one(name, a, kernel: str, check: bool = False,
+            chunk: int | None = None, max_w: int | None = None):
     import time as _time
 
     from ..formats.csr import CSR
@@ -168,6 +183,11 @@ def run_one(name, a, kernel: str, check: bool = False):
 
         kernel, fill = route(a, a)
         routed = {"fill": round(fill, 4), "kernel": kernel}
+    kw = {}
+    if chunk is not None:
+        kw["chunk"] = chunk
+    if max_w is not None:
+        kw["max_w"] = max_w
     if kernel == "esc":
         fn = lambda x: spgemm(x, x, product_cap, out_cap)
     elif kernel == "binned":
@@ -176,7 +196,7 @@ def run_one(name, a, kernel: str, check: bool = False):
     elif kernel == "ell-tiled":
         from ..ops.ell_esc import spgemm_ell_tiled
 
-        plan = plan_ell(a, a)
+        plan = plan_ell(a, a, split_hub=False, **kw)
         fn = lambda x: spgemm_ell_tiled(x, x, plan)
     elif kernel == "block":
         # host planning = route fill estimate (when we came through
@@ -189,7 +209,7 @@ def run_one(name, a, kernel: str, check: bool = False):
     else:
         from ..ops.ell_esc import _tiles_impl, _use_pallas_default
 
-        plan = plan_ell(a, a)
+        plan = plan_ell(a, a, **kw)
         plan_ms = (_time.monotonic() - t_plan0) * 1e3
         # warm twice: the second exact call caches + validates the
         # nnz(C) bucket; the timed op is then the trace-safe fused
@@ -228,22 +248,55 @@ def run_one(name, a, kernel: str, check: bool = False):
         "platform": jax.default_backend(),
         "timing": "slope",
     }
+    if chunk is not None:
+        rec["chunk"] = chunk
+    if max_w is not None:
+        rec["max_w"] = max_w
     if routed is not None:
         rec["routed"] = routed
     if check:
         # exact nnz(C) cross-check vs scipy's Gustavson (host oracle)
         import numpy as np
 
-        want_nnz = _scipy_nnzc(a)
+        vn, sn = _scipy_nnzc(a)
         out = jax.jit(fn)(da)
         if hasattr(out, "counts"):  # TiledCSR (ell-tiled)
             got_nnz = int(np.asarray(jax.jit(lambda o: o.nnz)(out)))
         else:
             got_nnz = int(np.asarray(out.row_ptr)[-1])
         rec["nnzc"] = got_nnz
-        rec["nnzc_scipy"] = want_nnz
-        rec["nnzc_ok"] = bool(got_nnz == want_nnz)
+        rec["nnzc_scipy"] = vn
+        rec["nnzc_structural"] = sn
+        rec["nnzc_ok"] = bool(vn <= got_nnz <= sn)
     return rec
+
+
+def _ell_tile_gb(a) -> float:
+    """Rough single-dispatch ELL tile footprint (GB): pow2-padded row
+    widths x 2 planes x 4 B x ~3 live copies through the sort.  Band
+    matrices pad brutally (cant: 6240-wide rows -> 8192-wide bins x 62k
+    rows ~ 12+ GB) — the duel must know before dispatching."""
+    import numpy as np
+
+    from ..utils.nphost import (
+        csr_host,
+        pow2ceil_arr,
+        segment_sums,
+        snap_chunks_arr,
+    )
+
+    rp, ci = csr_host(a)
+    nnz = int(rp[-1])
+    bc = np.diff(rp)
+    safe = np.clip(ci[:nnz], 0, a.rows - 1)
+    elen = bc[safe]
+    chunk = 32
+    epw = snap_chunks_arr(np.maximum(-(-elen // chunk), 1)) * chunk
+    epw[elen == 0] = 0
+    prow = segment_sums(epw, rp)
+    wr = pow2ceil_arr(np.maximum(prow, chunk))
+    binned = wr[(prow > 0) & (wr <= 8192)]
+    return float(binned.sum()) * 2 * 4 * 3 / 1e9
 
 
 def run_duel(name, a, check: bool = False):
@@ -254,16 +307,33 @@ def run_duel(name, a, check: bool = False):
     from ..ops.dispatch import route
 
     kernel, fill = route(a, a)
-    recs = {}
+    recs, errs = {}, {}
     for k in ("block", "ell"):
         if k == "block" and fill < 0.02:
             # power-law block plans explode (pairs ~ nnz^2/blocks); the
             # boundary question only matters near the threshold
             continue
-        recs[k] = run_one(name, a, k, check=check)
+        if k == "ell":
+            gb = _ell_tile_gb(a)
+            if gb > 6.0:
+                # a single-dispatch ELL tile footprint past HBM doesn't
+                # just fail, it poisons the process for later matrices
+                # (a live OOM left the allocator unable to serve the
+                # NEXT duel's block plan) — pre-estimate and skip; the
+                # partitioned driver is the production answer there
+                errs[k] = f"skipped: ~{gb:.1f} GB single-dispatch tiles"
+                continue
+        try:
+            recs[k] = run_one(name, a, k, check=check)
+        except Exception as e:
+            errs[k] = f"{type(e).__name__}: {str(e)[:120]}"
+    if kernel not in recs:
+        kernel = next(iter(recs))
     rec = dict(recs[kernel])
     rec["routed"] = {"fill": round(fill, 4), "kernel": kernel}
     rec["duel_ms"] = {k: r["ms"] for k, r in recs.items()}
+    if errs:
+        rec["duel_errors"] = errs
     best = min(r["ms"] for r in recs.values())
     rec["auto_loss"] = round(rec["ms"] / best - 1.0, 4)
     return rec
@@ -409,7 +479,10 @@ def main(argv=None) -> int:
         elif args.duel:
             rec = run_duel(name, a, check=args.check)
         else:
-            rec = run_one(name, a, args.kernel, check=args.check)
+            rec = run_one(
+                name, a, args.kernel, check=args.check,
+                chunk=args.chunk, max_w=args.max_w,
+            )
         if args.mt:
             import numpy as np
 

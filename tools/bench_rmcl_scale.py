@@ -107,7 +107,13 @@ def main():
     print(f"backend={jax.default_backend()} n={n} ({kc}x{cs}) S={S}",
           flush=True)
 
-    coo, planted = planted_partition_coo(kc, cs, seed=11)
+    # p_out scales as ~8/n: the generator's 0.002 default adds ~131
+    # inter-cluster edges per node at n=65536 (mean degree 151 -> 63k
+    # dense-path rows -> 16 GB operand); ~24 total degree matches the
+    # power-law corpus scale
+    coo, planted = planted_partition_coo(
+        kc, cs, p_in=0.25, p_out=8.0 / (kc * cs), seed=11
+    )
     mt0 = rmcl_init(coo)
     t0 = time.monotonic()
     plan = plan_rmcl_ell(mt0, S=S)
@@ -135,8 +141,10 @@ def main():
         walls[k] = ts[len(ts) // 2]
     ms_iter = (walls[ks[1]] - walls[ks[0]]) / (ks[1] - ks[0]) * 1e3
 
-    # convergence + clustering quality from a full 12-iteration run
-    c1, v1, hist, _ = run(12)
+    # convergence + clustering quality from a longer run (12 iters left
+    # ~65k near-singleton clusters at n=65536 — attractors need the
+    # iterate to actually converge before extraction means anything)
+    c1, v1, hist, _ = run(30)
     nnz_hist = [int(x) for x in np.asarray(hist["nnz"])]
     differs = [round(float(x), 5) for x in np.asarray(hist["differs"])]
     from sparse_matrix_with_flops_tpu.models.rmcl_ell import ell_to_csr
