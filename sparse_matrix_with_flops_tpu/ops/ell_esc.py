@@ -1583,7 +1583,9 @@ def _assemble_body(
             # (8, 512) — per-step DMA latency dominated the kernel
             from .pallas_sort import align_windows
 
-            rps = 64
+            # adaptive block height: at s16-scale window counts (~617k)
+            # rps=64 means ~9.6k grid steps of per-step DMA latency
+            rps = 256 if g.shape[0] >= 1 << 17 else 64
             qn = g.shape[0]
             qpad = -(-qn // rps) * rps
             if qpad != qn:
