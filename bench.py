@@ -44,8 +44,15 @@ def _axon_relay_down() -> bool:
         return True
 
 
-def _median_slope(step, n: int = 3):
-    """Median of ``n`` independent slope_bench measurements + spread."""
+def _median_slope(step, n: int = 5):
+    """Median of ``n`` independent slope_bench measurements + spread.
+
+    Five samples, not three: a single tunnel hiccup inside one
+    slope_bench (its k=1 program measuring anomalously slow) skews that
+    sample's dT/dk badly — observed one capture at 2x the steady rate
+    with spread 2.0.  The median of five rides through one bad sample;
+    the spread field keeps any residual noise visible in the gate
+    artifact."""
     from sparse_matrix_with_flops_tpu.utils.timing import slope_bench
 
     ms = sorted(slope_bench(step) for _ in range(n))
@@ -79,6 +86,84 @@ def main() -> None:
     )
 
     enable_compile_cache()
+
+    # the FEM-band anchor (cant.mtx class) runs FIRST: measured on a
+    # quiet process its plan costs ~78-80 ms, but after the s14
+    # section's device traffic the same plan measured 116-130 ms
+    # (background dispatch churn steals host CPU) — order is part of
+    # the cold-capture discipline.
+    # Second headline: the reference's own FEM-band anchor (cant.mtx
+    # class, tools/res.txt) on the dense-block MXU path — the workload
+    # where the engine choice matters most (round-4: 11.2 GFLOPS vs the
+    # lane pipeline's 0.55).  The setup (plan + exact-nnz bucket + fused
+    # step) is cli.corpus.prep_block_step — the SAME code path the corpus
+    # runner times (ADVICE r4 #4).  BENCH_CANT=0 skips it.
+    cant_fields = {}
+    if os.environ.get("BENCH_CANT", "1") == "1":
+        try:
+            from sparse_matrix_with_flops_tpu.cli.corpus import (
+                prep_block_step,
+            )
+            from sparse_matrix_with_flops_tpu.io.native import (
+                spgemm_mt_baseline,
+            )
+            from sparse_matrix_with_flops_tpu.utils.generate import banded_csr
+
+            ca = banded_csr(62451, bandwidth=32)
+            c_oflops, _ = spgemm_upper_bounds(ca, ca)
+            dca = jax.device_put(ca)
+            # warm the heap before the timed plan: first-touch page
+            # faults on this host cost ~160 us/4K page and inflated the
+            # cold capture 78 -> 116 ms run-to-run (the CPU baseline
+            # process enjoys a warm heap by its timed multiply too)
+            from sparse_matrix_with_flops_tpu.ops.dispatch import route
+            from sparse_matrix_with_flops_tpu.utils.nphost import prefault
+
+            prefault(1 << 28)
+            # the PRODUCTION cold path: route (fill estimate) then plan —
+            # the estimate warms the block-coordinate cache the planner
+            # shares, so route+plan ~80 ms where a bare plan pays ~130
+            # (first-touch page/TLB effects land once either way)
+            t0 = time.monotonic()
+            routed_kernel, c_fill = route(ca, ca)
+            c_route_ms = (time.monotonic() - t0) * 1e3
+            cfn, c_plan_ms, _cap = prep_block_step(ca, dca)
+            c_plan_ms += c_route_ms
+
+            def cstep(x):
+                a2 = CSR(
+                    dca.row_ptr, dca.col_ind, dca.values + x, dca.ncols
+                )
+                out = cfn(a2)
+                return (out.row_ptr, out.col_ind, out.values)
+
+            c_ms, c_spread = _median_slope(cstep)
+            cant_fields = {
+                "cant_block_ms": round(c_ms, 3),
+                "cant_block_gflops": round(2.0 * c_oflops / c_ms / 1e6, 3),
+                "cant_plan_ms": round(c_plan_ms, 1),
+                "cant_routed": routed_kernel,
+                "cant_fill": round(c_fill, 4),
+                "cant_spread": round(c_spread, 3),
+            }
+            crp = np.asarray(ca.row_ptr)
+            cnnz = int(crp[-1])
+            cmt = spgemm_mt_baseline(
+                crp,
+                np.asarray(ca.col_ind)[:cnnz],
+                np.asarray(ca.values)[:cnnz],
+                ca.ncols,
+            )
+            if cmt:
+                cant_fields["cant_vs_baseline_mt"] = round(cmt[0] / c_ms, 3)
+                cant_fields["cant_vs_baseline_mt_cold"] = round(
+                    cmt[0] / (c_ms + c_plan_ms), 3
+                )
+        except Exception as e:  # keep the primary metric alive
+            cant_fields = {
+                "cant_block_error": f"{type(e).__name__}: {str(e)[:160]}"
+            }
+
 
     scale = int(os.environ.get("BENCH_SCALE", "14"))
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "8"))
@@ -148,67 +233,6 @@ def main() -> None:
         vs_mt = gflops / (flops2 / mt[0] / 1e6) if mt else None
     except Exception:
         vs_mt = None
-
-    # second headline: the reference's own FEM-band anchor (cant.mtx
-    # class, tools/res.txt) on the dense-block MXU path — the workload
-    # where the engine choice matters most (round-4: 11.2 GFLOPS vs the
-    # lane pipeline's 0.55).  The setup (plan + exact-nnz bucket + fused
-    # step) is cli.corpus.prep_block_step — the SAME code path the corpus
-    # runner times (ADVICE r4 #4).  BENCH_CANT=0 skips it.
-    cant_fields = {}
-    if os.environ.get("BENCH_CANT", "1") == "1":
-        try:
-            from sparse_matrix_with_flops_tpu.cli.corpus import (
-                prep_block_step,
-            )
-            from sparse_matrix_with_flops_tpu.io.native import (
-                spgemm_mt_baseline,
-            )
-            from sparse_matrix_with_flops_tpu.utils.generate import banded_csr
-
-            ca = banded_csr(62451, bandwidth=32)
-            c_oflops, _ = spgemm_upper_bounds(ca, ca)
-            dca = jax.device_put(ca)
-            # warm the heap before the timed plan: first-touch page
-            # faults on this host cost ~160 us/4K page and inflated the
-            # cold capture 78 -> 116 ms run-to-run (the CPU baseline
-            # process enjoys a warm heap by its timed multiply too)
-            from sparse_matrix_with_flops_tpu.utils.nphost import prefault
-
-            prefault(1 << 28)
-            cfn, c_plan_ms, _cap = prep_block_step(ca, dca)
-
-            def cstep(x):
-                a2 = CSR(
-                    dca.row_ptr, dca.col_ind, dca.values + x, dca.ncols
-                )
-                out = cfn(a2)
-                return (out.row_ptr, out.col_ind, out.values)
-
-            c_ms, c_spread = _median_slope(cstep)
-            cant_fields = {
-                "cant_block_ms": round(c_ms, 3),
-                "cant_block_gflops": round(2.0 * c_oflops / c_ms / 1e6, 3),
-                "cant_plan_ms": round(c_plan_ms, 1),
-                "cant_spread": round(c_spread, 3),
-            }
-            crp = np.asarray(ca.row_ptr)
-            cnnz = int(crp[-1])
-            cmt = spgemm_mt_baseline(
-                crp,
-                np.asarray(ca.col_ind)[:cnnz],
-                np.asarray(ca.values)[:cnnz],
-                ca.ncols,
-            )
-            if cmt:
-                cant_fields["cant_vs_baseline_mt"] = round(cmt[0] / c_ms, 3)
-                cant_fields["cant_vs_baseline_mt_cold"] = round(
-                    cmt[0] / (c_ms + c_plan_ms), 3
-                )
-        except Exception as e:  # keep the primary metric alive
-            cant_fields = {
-                "cant_block_error": f"{type(e).__name__}: {str(e)[:160]}"
-            }
 
     dev = jax.devices()[0]
     rec = {
